@@ -1,0 +1,162 @@
+"""Pure-numpy geometry core for the octree/quadtree tiler.
+
+These are the behavior-defining kernels of the engine, re-expressed from
+scratch with the same semantics as the reference (Oslandia/py3dtiles):
+
+- octant child index        (reference: py3dtiles/points/distance.py:18-21)
+- grid cell key             (reference: py3dtiles/points/distance.py:24-32)
+- spacing acceptance test   (reference: py3dtiles/points/distance.py:5-15)
+- AABB split / spacing law  (reference: py3dtiles/points/utils.py:43-88)
+- subdivision-type rule     (reference: py3dtiles/points/utils.py:47-51)
+
+All float math is done in float32 with the reference's operation order so
+tile assignments match bit-for-bit (SURVEY.md §7.4 item 6). Everything here
+is driver/UDF-side pure functions — no Spark imports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+OCTREE = "octree"
+QUADTREE = "quadtree"
+
+# Engine constants (same values as the reference; see BASELINE.md).
+SPLIT_THRESHOLD = 20_000      # leaf splits at this many points (node.py:70-73)
+MIN_SPACING = 0.001           # stop splitting when spacing <= 1mm * scale
+SMALL_CHILD_MERGE = 100       # children below this roll up (node.py:229)
+GRID_INITIAL_CELL_COUNT = 3   # per-axis grid cells (points_grid.py:40-42)
+ROOT_SPACING_DIVISOR = 125.0  # spacing = ||diag|| / 125 (points/utils.py:43-44)
+
+
+def compute_spacing(aabb: np.ndarray) -> float:
+    """Root spacing law: ||aabb diagonal|| / 125."""
+    aabb = np.asarray(aabb, dtype=np.float32)
+    return float(np.linalg.norm(aabb[1] - aabb[0]) / ROOT_SPACING_DIVISOR)
+
+
+def subdivision_type(size) -> str:
+    """Quadtree when the z extent is flat relative to x/y (< 0.5 ratio)."""
+    size = np.asarray(size, dtype=np.float32)
+    return QUADTREE if size[2] / min(size[0], size[1]) < 0.5 else OCTREE
+
+
+def split_aabb(aabb: np.ndarray, index: int, force_quadtree: bool = False) -> np.ndarray:
+    """Child AABB for child `index` (3-bit octant code x<<2 | y<<1 | z).
+
+    Quadtree mode keeps the full z extent of the parent.
+    """
+    aabb = np.asarray(aabb, dtype=np.float32)
+    half = (aabb[1] - aabb[0]) * np.float32(0.5)
+    t = subdivision_type(half)
+    out = np.array([aabb[0].copy(), aabb[0] + half], dtype=np.float32)
+    if index & 4:
+        out[0][0] += half[0]
+        out[1][0] += half[0]
+    if index & 2:
+        out[0][1] += half[1]
+        out[1][1] += half[1]
+    if force_quadtree or t == QUADTREE:
+        out[1][2] += half[2]
+    elif index & 1:
+        out[0][2] += half[2]
+        out[1][2] += half[2]
+    return out
+
+
+def node_geometry(tile_id: str, root_aabb: np.ndarray, root_spacing: float):
+    """(aabb, spacing) of any tile, derived purely from its name.
+
+    Folds split_aabb over the octant digits so the tile tree never has to be
+    materialized or shuffled with the points (SURVEY.md §2.3 X6).
+    """
+    aabb = np.asarray(root_aabb, dtype=np.float32)
+    spacing = float(root_spacing)
+    for digit in tile_id:
+        aabb = split_aabb(aabb, int(digit))
+        spacing *= 0.5
+    return aabb, spacing
+
+
+def xyz_to_child_index(xyz: np.ndarray, center: np.ndarray) -> np.ndarray:
+    """Per-point 3-bit child code: 4*(x>=cx) + 2*(y>=cy) + (z>=cz)."""
+    test = np.greater_equal(xyz - center, 0).astype(np.int8)
+    return np.sum(np.left_shift(test, np.array([2, 1, 0], dtype=np.int8)), axis=1)
+
+
+def child_index_for_node(xyz: np.ndarray, aabb: np.ndarray) -> np.ndarray:
+    """Child code with the quadtree z-trick: in quadtree mode the comparison
+    z-center is the aabb top so the z bit is always 0 (4 children)."""
+    aabb = np.asarray(aabb, dtype=np.float32)
+    center = ((aabb[0] + aabb[1]) * np.float32(0.5)).astype(np.float32)
+    if subdivision_type(aabb[1] - aabb[0]) == QUADTREE:
+        center = np.array([center[0], center[1], aabb[1][2]], dtype=np.float32)
+    return xyz_to_child_index(xyz, center)
+
+
+def xyz_to_key(xyz: np.ndarray, cell_count: np.ndarray, aabb_min: np.ndarray,
+               inv_aabb_size: np.ndarray, shift: int) -> np.ndarray:
+    """Bit-packed grid cell key: clamped per-axis cell index, y<<shift,
+    z<<2*shift, summed. Same Morton-family packing as an H3/S2 encode."""
+    a = ((cell_count * inv_aabb_size) * (xyz - aabb_min)).astype(np.int64)
+    a = np.minimum(np.maximum(a, 0), cell_count - 1)
+    a[:, 1] <<= shift
+    a[:, 2] <<= 2 * shift
+    return np.sum(a, axis=1).astype(np.int32)
+
+
+def cell_keys_for_node(xyz: np.ndarray, aabb: np.ndarray,
+                       cell_count: int = GRID_INITIAL_CELL_COUNT) -> np.ndarray:
+    """Grid cell keys for points inside a node, float32 semantics."""
+    aabb = np.asarray(aabb, dtype=np.float32)
+    size = (aabb[1] - aabb[0]).astype(np.float32)
+    inv = (np.float32(1.0) / size).astype(np.float32)
+    counts = np.array([cell_count] * 3, dtype=np.int32)
+    shift = int(cell_count - 1).bit_length()
+    return xyz_to_key(xyz.astype(np.float32, copy=False), counts, aabb[0], inv, shift)
+
+
+def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
+    """Order-dependent LOD subsample within one grid cell.
+
+    Point i is accepted iff it is >= spacing away (squared-distance test)
+    from every previously-accepted point in the same cell. Points MUST be in
+    canonical order (the engine sorts by point_id) — reference acceptance is
+    insertion-order dependent (SURVEY.md §7.4 item 1).
+
+    Returns a boolean accept mask. Distances are computed in float32 with
+    the reference's (a-b)**2 ordering.
+    """
+    n = xyz.shape[0]
+    accept = np.zeros(n, dtype=bool)
+    if n == 0:
+        return accept
+    pts = xyz.astype(np.float32, copy=False)
+    kept = np.empty((n, 3), dtype=np.float32)
+    k = 0
+    sq = np.float32(squared_spacing)
+    for i in range(n):
+        if k == 0:
+            kept[0] = pts[i]
+            k = 1
+            accept[i] = True
+            continue
+        d = kept[:k] - pts[i]
+        if not (np.einsum("ij,ij->i", d, d) < sq).any():
+            kept[k] = pts[i]
+            k += 1
+            accept[i] = True
+    return accept
+
+
+def accept_mask_for_cells(xyz: np.ndarray, cell_keys: np.ndarray,
+                          squared_spacing: float) -> np.ndarray:
+    """Run sequential_accept independently per grid cell (cells are
+    independent in the reference: the distance scan is per-cell only)."""
+    accept = np.zeros(xyz.shape[0], dtype=bool)
+    order = np.argsort(cell_keys, kind="stable")
+    sorted_keys = cell_keys[order]
+    boundaries = np.flatnonzero(np.diff(sorted_keys)) + 1
+    for grp in np.split(order, boundaries):
+        accept[grp] = sequential_accept(xyz[grp], squared_spacing)
+    return accept

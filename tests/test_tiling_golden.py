@@ -1,0 +1,94 @@
+"""Golden tests: the distributed engine must reproduce the canonical replay
+(single-threaded reference semantics) tile-for-tile, point-for-point —
+the exact-tile-assignment requirement of BASELINE.json."""
+
+import numpy as np
+import pytest
+
+from py3dtiles_spark.operators.replay import replay_tiling
+from py3dtiles_spark.operators.tiling import (
+    TilingConfig, build_tiling, cleanup_checkpoint, compute_root_aabb)
+from py3dtiles_spark.sources.ripple import ripple_cloud
+
+
+def _points_df(spark, ids, xyz):
+    import pandas as pd
+    pdf = pd.DataFrame({"point_id": ids,
+                        "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]})
+    return spark.createDataFrame(pdf).repartition(8)
+
+
+def _engine_assignments(spark, ids, xyz, cfg):
+    df = _points_df(spark, ids, xyz)
+    res = build_tiling(spark, df, cfg)
+    rows = res.assignments.collect()
+    got = {r.point_id: r.tile_id for r in rows}
+    return got, res
+
+
+@pytest.mark.parametrize("z_scale,label", [(1.0, "quadtree-flat"),
+                                           (20.0, "octree-tall")])
+def test_engine_matches_replay(spark, z_scale, label, tmp_path):
+    ids, xyz = ripple_cloud(30_000, z_scale=z_scale)
+    expected, _, _ = replay_tiling(ids, xyz, split_threshold=2000)
+
+    cfg = TilingConfig(split_threshold=2000, in_kernel_threshold=6000,
+                       checkpoint_dir=str(tmp_path / label))
+    got, res = _engine_assignments(spark, ids, xyz, cfg)
+
+    assert len(got) == len(ids)
+    exp = {int(i): t for i, t in zip(ids, expected)}
+    mismatches = {i: (exp[i], got[i]) for i in exp if exp[i] != got[i]}
+    assert not mismatches, f"{len(mismatches)} mismatched assignments, e.g. " \
+                           f"{list(mismatches.items())[:5]}"
+    assert res.counters["points_assigned"] == len(ids)
+    cleanup_checkpoint(res)
+
+
+def test_engine_all_local_path(spark, tmp_path):
+    """With a huge in-kernel threshold the whole tree builds in one task —
+    must equal the multi-shuffle cell path."""
+    ids, xyz = ripple_cloud(12_000)
+    expected, _, _ = replay_tiling(ids, xyz, split_threshold=1500)
+    cfg = TilingConfig(split_threshold=1500, in_kernel_threshold=10**9,
+                       checkpoint_dir=str(tmp_path / "local"))
+    got, res = _engine_assignments(spark, ids, xyz, cfg)
+    assert all(got[int(i)] == t for i, t in zip(ids, expected))
+    cleanup_checkpoint(res)
+
+
+def test_root_aabb_and_leaf_small_cloud(spark, tmp_path):
+    """A cloud under the split threshold is a single root leaf."""
+    ids, xyz = ripple_cloud(500)
+    df = _points_df(spark, ids, xyz)
+    aabb, spacing = compute_root_aabb(df)
+    np.testing.assert_allclose(aabb[0], xyz.min(axis=0), rtol=1e-6)
+    np.testing.assert_allclose(aabb[1], xyz.max(axis=0), rtol=1e-6)
+
+    cfg = TilingConfig(checkpoint_dir=str(tmp_path / "leaf"))
+    got, res = _engine_assignments(spark, ids, xyz, cfg)
+    assert set(got.values()) == {""}
+    cleanup_checkpoint(res)
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    """Interrupt after level 0, resume, and still match the replay exactly
+    (the north_rule resumability requirement)."""
+    ids, xyz = ripple_cloud(20_000)
+    expected, _, _ = replay_tiling(ids, xyz, split_threshold=1500)
+
+    ckpt = str(tmp_path / "resume")
+    cfg1 = TilingConfig(split_threshold=1500, in_kernel_threshold=3000,
+                        checkpoint_dir=ckpt, max_levels=1)
+    df = _points_df(spark, ids, xyz)
+    partial = build_tiling(spark, df, cfg1)
+    assert not partial.counters["complete"]
+
+    cfg2 = TilingConfig(split_threshold=1500, in_kernel_threshold=3000,
+                        checkpoint_dir=ckpt)
+    res = build_tiling(spark, df, cfg2, resume=True)
+    assert res.counters["complete"]
+    assert res.counters["levels"][0]["level"] == 0  # counters carried over
+    got = {r.point_id: r.tile_id for r in res.assignments.collect()}
+    assert all(got[int(i)] == t for i, t in zip(ids, expected))
+    cleanup_checkpoint(res)

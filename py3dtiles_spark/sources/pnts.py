@@ -1,0 +1,115 @@
+"""3D Tiles .pnts PointCloud codec — pure numpy, Arrow-UDF friendly.
+
+Binary layout per the 3D Tiles 1.0 spec (reference: py3dtiles/pnts.py:72-109,
+feature_table.py:96-345):
+
+  28-byte header: magic 'pnts', version=1, tile_byte_length,
+                  ft_json_len, ft_bin_len, bt_json_len=0, bt_bin_len=0
+  feature-table JSON header (padded to 8-byte boundary with spaces)
+  feature-table body: float32 XYZ * N  ++  uint8 RGB * N
+
+Plus the Spark-side sinks: one output row per tile with the packed payload
+(points never leave the executors; a tile's bytes are built inside one
+grouped-map UDF call), written to parquet — or to r<name>.pnts files with
+the reference's 8-chars-per-directory sharding (points/utils.py:26-40).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PNTS_HEADER_LEN = 28
+_MAGIC = b"pnts"
+
+
+def encode_pnts(xyz: np.ndarray, rgb: np.ndarray | None = None,
+                rtc_center=None) -> bytes:
+    """Pack positions (+colors) into a .pnts tile."""
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    n = xyz.shape[0]
+    body = xyz.tobytes()
+    ft = {"POINTS_LENGTH": n, "POSITION": {"byteOffset": 0}}
+    if rgb is not None:
+        rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+        ft["RGB"] = {"byteOffset": len(body)}
+        body += rgb.tobytes()
+    if rtc_center is not None:
+        ft["RTC_CENTER"] = list(map(float, rtc_center))
+    ft_json = json.dumps(ft).encode("utf-8")
+    # pad JSON so the binary body is 8-byte aligned (spec requirement)
+    pad = (8 - (PNTS_HEADER_LEN + len(ft_json)) % 8) % 8
+    ft_json += b" " * pad
+    total = PNTS_HEADER_LEN + len(ft_json) + len(body)
+    header = struct.pack("<4sIIIIII", _MAGIC, 1, total,
+                         len(ft_json), len(body), 0, 0)
+    return header + ft_json + body
+
+
+def decode_pnts(buf: bytes):
+    """Inverse of encode_pnts. Returns (xyz f32 (N,3), rgb u8 (N,3) | None,
+    feature_table_header dict)."""
+    magic, version, total, ftj, ftb, btj, btb = struct.unpack(
+        "<4sIIIIII", buf[:PNTS_HEADER_LEN])
+    assert magic == _MAGIC, magic
+    assert version == 1
+    assert total == len(buf), (total, len(buf))
+    ft = json.loads(buf[PNTS_HEADER_LEN:PNTS_HEADER_LEN + ftj])
+    body = buf[PNTS_HEADER_LEN + ftj:PNTS_HEADER_LEN + ftj + ftb]
+    n = ft["POINTS_LENGTH"]
+    off = ft["POSITION"]["byteOffset"]
+    xyz = np.frombuffer(body, dtype=np.float32, count=3 * n,
+                        offset=off).reshape(n, 3)
+    rgb = None
+    if "RGB" in ft:
+        rgb = np.frombuffer(body, dtype=np.uint8, count=3 * n,
+                            offset=ft["RGB"]["byteOffset"]).reshape(n, 3)
+    return xyz, rgb, ft
+
+
+def name_to_relpath(tile_id: str, suffix: str = ".pnts") -> str:
+    """Reference 8-char directory fan-out (points/utils.py:26-40):
+    'r' prefix, name chunked 8 chars per directory level."""
+    chunks = [tile_id[i:i + 8] for i in range(0, len(tile_id), 8)] or [""]
+    return "/".join(chunks[:-1] + [f"r{chunks[-1]}{suffix}"])
+
+
+def tiles_to_pnts_df(points_with_tiles: DataFrame,
+                     include_rgb: bool = False) -> DataFrame:
+    """(point_id, x, y, z[, r, g, b], tile_id) -> one row per tile:
+    (tile_id, points_length, pnts binary). The pack runs as a grouped-map
+    Arrow UDF — bytes are built executor-side, rows are tile-sized."""
+    cols = ["r", "g", "b"] if include_rgb else []
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("point_id", kind="stable")
+        xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float32)
+        rgb = pdf[cols].to_numpy(dtype=np.uint8) if cols else None
+        return pd.DataFrame({
+            "tile_id": [pdf["tile_id"].iat[0]],
+            "points_length": [len(pdf)],
+            "pnts": [encode_pnts(xyz, rgb)],
+        })
+
+    return points_with_tiles.groupBy("tile_id").applyInPandas(
+        pack, schema="tile_id string, points_length long, pnts binary")
+
+
+def write_pnts_files(pnts_df: DataFrame, out_dir: str) -> int:
+    """Materialize r<name>.pnts files with reference sharding. Executor-side
+    foreachPartition write (local/NFS paths); returns tiles written."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = pnts_df.select("tile_id", "pnts").toLocalIterator()
+    n = 0
+    for row in rows:
+        path = os.path.join(out_dir, name_to_relpath(row.tile_id))
+        os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(row.pnts)
+        n += 1
+    return n

@@ -1,0 +1,207 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All exact-hash paths are pure built-in expressions (JVM-side, whole-stage
+codegen); MinHash uses native xxhash64 aggregations over exploded shingles
+(map-side partial agg keeps the shuffle at |docs| * num_perm rows max);
+SimHash and embedding near-dup use Arrow-batched numpy kernels.
+
+Scale notes:
+- exact_dedup: one hash shuffle on the digest; identical to a groupBy.
+- minhash LSH: explode(shingles) is the big intermediate — shuffle is on
+  doc_id (already the partition key after generation) and band buckets are
+  tiny; candidate verification touches only bucket collisions.
+- near-dup pairs are emitted (a < b) so downstream "keep the smallest id"
+  removal is one anti-join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text (hash groupBy)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter("_rn = 1").drop("_rn"))
+
+
+def shingles(text_col: str = "text", n: int = 5):
+    """Word n-gram shingle array, native exprs: split -> sliding join."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 16,
+                       shingle_n: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """num_perm MinHash values per doc: min over shingles of
+    xxhash64(shingle, perm_seed). Pure built-ins — explode + groupBy with
+    map-side combine."""
+    ex = (docs.select(id_col, F.explode(shingles(text_col, shingle_n))
+                      .alias("sh")).dropDuplicates([id_col, "sh"]))
+    aggs = [F.min(F.xxhash64("sh", F.lit(p))).alias(f"mh{p}")
+            for p in range(num_perm)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
+                      threshold: float = 0.5, shingle_n: int = 5,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact Jaccard verify.
+
+    classic pipeline: shingle -> minhash -> band buckets -> bucket self-join
+    -> verify true shingle-set Jaccard >= threshold. Returns (a, b, jaccard)
+    with a < b.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                     for r in range(rows_per_band)], F.lit(b)).alias(f"band{b}")
+        for b in range(bands)]
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
+            for b in range(bands)])).alias("e")
+    ).select(id_col, "e.band_no", "e.bh")
+
+    a = stacked.select(F.col(id_col).alias("a"), "band_no", "bh")
+    b = stacked.select(F.col(id_col).alias("b"), "band_no", "bh")
+    cand = (a.join(b, ["band_no", "bh"]).filter("a < b")
+             .select("a", "b").distinct())
+
+    sh = docs.select(F.col(id_col).alias("_id"),
+                     F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    cand = (cand
+            .join(sh.withColumnRenamed("_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+            .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("sh", "sh_b"), "b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cand.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("a", "b", "jaccard"))
+
+
+def dedup_by_pairs(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop every doc that appears as the larger id of a near-dup pair
+    (one broadcast anti-join)."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_id: int | None = None) -> DataFrame:
+    """Character-n-gram Jaccard similarity for all pairs (optionally capped
+    to ids < max_id — the exact quadratic variant for validation)."""
+    d = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
+    d = d.select(F.col(id_col).alias("_id"),
+                 F.expr(f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+                        f" i -> substring({text_col}, i, {n})))").alias("g"))
+    a = d.select(F.col("_id").alias("a"), F.col("g").alias("ga"))
+    b = d.select(F.col("_id").alias("b"), F.col("g").alias("gb"))
+    pairs = a.crossJoin(b).filter("a < b")
+    jac = (F.size(F.array_intersect("ga", "gb"))
+           / F.size(F.array_union("ga", "gb")))
+    return (pairs.withColumn("jaccard", jac)
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("a", "b", "jaccard"))
+
+
+def simhash_values(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: sum of +-1 votes of each token's xxhash64
+    bits. Arrow-batched numpy kernel (vectorized bit unpack)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_sig = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ") if text else []
+                if not toks:
+                    out_ids.append(did)
+                    out_sig.append(0)
+                    continue
+                # deterministic 64-bit token hashes via blake2b
+                import hashlib
+                hs = np.array([
+                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                    for t in toks], dtype=np.uint64)
+                bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                          & np.uint64(1)).astype(np.int64)
+                votes = (2 * bitmat - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in range(bits):
+                    if votes[i] > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                out_ids.append(did)
+                out_sig.append(int(np.int64(sig)))  # reinterpret as signed
+            yield pd.DataFrame({id_col: out_ids, "simhash": out_sig})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, simhash long")
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """SimHash near-dups: band the 64-bit signature into 4x16-bit chunks
+    (pigeonhole: hamming<=3 pairs share at least one chunk), equi-join on
+    chunks, verify hamming distance with bit_count."""
+    sig = simhash_values(docs, id_col, text_col)
+    chunks = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_no"),
+                     F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                     .alias("chunk"))
+            for c in range(4)])).alias("e")
+    ).select(id_col, "simhash", "e.chunk_no", "e.chunk")
+    a = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"),
+                      "chunk_no", "chunk")
+    b = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"),
+                      "chunk_no", "chunk")
+    cand = (a.join(b, ["chunk_no", "chunk"]).filter("a < b")
+             .select("a", "b", "sa", "sb").distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("a", "b", "hamming"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket (random hyperplanes), exact
+    pairwise cosine within buckets. Returns (a, b, cos) with a < b."""
+    from py3dtiles_spark.operators.knn import lsh_signature_expr
+    from pyspark.sql.types import LongType, StructField, StructType
+    dim = len(emb.select("embedding").first()[0])
+    out_schema = StructType(list(emb.schema.fields)
+                            + [StructField("bucket", LongType())])
+    bucketed = emb.mapInPandas(lsh_signature_expr(dim, n_planes, seed),
+                               schema=out_schema)
+
+    def pairwise(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = m @ m.T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        lo = np.minimum(ids[ii], ids[jj])
+        hi = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"a": lo, "b": hi, "cos": sims[ii, jj]})
+
+    return (bucketed.groupBy("bucket")
+            .applyInPandas(pairwise, schema="a long, b long, cos double")
+            .dropDuplicates(["a", "b"]))

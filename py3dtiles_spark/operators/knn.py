@@ -1,0 +1,173 @@
+"""k-nearest-neighbor operators — LOD point-budget selection (north_star)
+generalized, plus embedding similarity search for training-data pipelines.
+
+Physical strategies:
+- knn_points / knn_embeddings (brute force): queries are broadcast; each
+  input partition computes its local top-k per query in one Arrow batch
+  pass (numpy matmul), then a global top-k window reduces
+  partitions*k*q rows — the only shuffle is over candidate rows
+  (k * q * partitions), never the full table.
+- ann_lsh_embeddings: random-hyperplane signatures bucket both sides;
+  exact re-rank inside buckets. Recall < 1, cost ~ bucket sizes — the
+  100 TB scale path.
+- lod_budget_select: per-tile distance-ranked budget cap — the kNN-flavored
+  LOD selection the reference approximates with its spacing grid.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _topk_window(df: DataFrame, part_col: str, order_col: str, k: int) -> DataFrame:
+    w = Window.partitionBy(part_col).orderBy(F.col(order_col).asc(),
+                                             F.col("n_id").asc())
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k).drop("rank"))
+
+
+def knn_points(points: DataFrame, queries, k: int = 10) -> DataFrame:
+    """Exact kNN of each query (q_id, x, y, z) against a big point table
+    (point_id, x, y, z). queries: small list of tuples or DataFrame.
+    Returns (q_id, n_id, dist)."""
+    if isinstance(queries, DataFrame):
+        q = [(r.q_id, r.x, r.y, r.z) for r in queries.collect()]
+    else:
+        q = list(queries)
+    q_ids = np.array([t[0] for t in q], dtype=np.int64)
+    q_xyz = np.array([t[1:4] for t in q], dtype=np.float64)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_d = {int(i): np.full(k, np.inf) for i in q_ids}
+        acc_n = {int(i): np.full(k, -1, dtype=np.int64) for i in q_ids}
+        for pdf in batches:
+            xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float64)
+            ids = pdf["point_id"].to_numpy(dtype=np.int64)
+            # (Q, N) squared distances in one matmul-free broadcast
+            d = ((q_xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(axis=2)
+            for qi, qid in enumerate(q_ids):
+                dd = np.concatenate([acc_d[int(qid)], d[qi]])
+                nn = np.concatenate([acc_n[int(qid)], ids])
+                sel = np.argsort(dd, kind="stable")[:k]
+                acc_d[int(qid)] = dd[sel]
+                acc_n[int(qid)] = nn[sel]
+        rows = []
+        for qid in q_ids:
+            m = acc_n[int(qid)] >= 0
+            rows.append(pd.DataFrame({
+                "q_id": int(qid),
+                "n_id": acc_n[int(qid)][m],
+                "dist": np.sqrt(acc_d[int(qid)][m])}))
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    cand = points.mapInPandas(local_topk, "q_id long, n_id long, dist double")
+    return _topk_window(cand, "q_id", "dist", k)
+
+
+def knn_embeddings(emb: DataFrame, queries, k: int = 10) -> DataFrame:
+    """Exact top-k cosine similarity: emb (vec_id, embedding array<float>);
+    queries list of (q_id, vector) or DataFrame. Returns (q_id, n_id, cos).
+    One numpy matmul per Arrow batch — the brute-force baseline."""
+    if isinstance(queries, DataFrame):
+        q = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in queries.collect()]
+    else:
+        q = [(i, np.asarray(v, dtype=np.float64)) for i, v in queries]
+    q_ids = np.array([t[0] for t in q], dtype=np.int64)
+    qm = np.stack([t[1] for t in q])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            int(i): (np.full(k, -np.inf), np.full(k, -1, dtype=np.int64))
+            for i in q_ids}
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = qm @ m.T                      # (Q, N)
+            for qi, qid in enumerate(q_ids):
+                ss, nn = acc[int(qid)]
+                alls = np.concatenate([ss, sims[qi]])
+                alln = np.concatenate([nn, ids])
+                sel = np.argsort(-alls, kind="stable")[:k]
+                acc[int(qid)] = (alls[sel], alln[sel])
+        rows = []
+        for qid in q_ids:
+            ss, nn = acc[int(qid)]
+            mask = nn >= 0
+            rows.append(pd.DataFrame(
+                {"q_id": int(qid), "n_id": nn[mask], "cos": ss[mask]}))
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    cand = emb.mapInPandas(local_topk, "q_id long, n_id long, cos double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("n_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k).drop("rank"))
+
+
+def lsh_signature_expr(dim: int, n_planes: int, seed: int = 42):
+    """Random-hyperplane LSH bucket as a deterministic numpy pandas kernel;
+    returns a mapInPandas function adding a `bucket` long column."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def add_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ planes.T) > 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_planes):
+                bucket |= bits[:, b].astype(np.int64) << b
+            out = pdf.copy()
+            out["bucket"] = bucket
+            yield out
+
+    return add_bucket
+
+
+def ann_lsh_embeddings(emb: DataFrame, queries, k: int = 10,
+                       n_planes: int = 8, dim: int | None = None) -> DataFrame:
+    """Approximate kNN: restrict the exact scan to the query's LSH bucket.
+    At scale the bucket join is an equi-join shuffle of ~1/2^planes of the
+    table per query instead of a full scan."""
+    if isinstance(queries, DataFrame):
+        q = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in queries.collect()]
+    else:
+        q = [(i, np.asarray(v, dtype=np.float64)) for i, v in queries]
+    dim = dim or len(q[0][1])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_of(v):
+        bits = (planes @ v) > 0
+        return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+    wanted = {bucket_of(v) for _, v in q}
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType(list(emb.schema.fields)
+                            + [StructField("bucket", LongType())])
+    bucketed = emb.mapInPandas(lsh_signature_expr(dim, n_planes),
+                               schema=out_schema)
+    cand = bucketed.filter(F.col("bucket").isin(list(wanted)))
+    return knn_embeddings(cand.select("vec_id", "embedding"), q, k)
+
+
+def lod_budget_select(points_with_tiles: DataFrame, budget: int,
+                      seed: int = 42) -> DataFrame:
+    """Per-tile LOD budget: keep at most `budget` points per tile, ranked by
+    a deterministic pseudo-random order (reference merger.py:201-213 random
+    overview sampling, made reproducible via hash ordering). Pure window —
+    top-k per group, no UDF."""
+    w = Window.partitionBy("tile_id").orderBy(
+        F.xxhash64("point_id", F.lit(seed)).asc())
+    return (points_with_tiles.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= budget).drop("rk"))

@@ -1,0 +1,108 @@
+"""Multimodal (image/audio/video) column plumbing for training pipelines.
+
+Media ride as opaque `binary` columns with typed metadata structs; the
+Spark-side plumbing — schemas, Arrow batch shapes, partition-friendly
+grouped processing — is real and tested. The actual codec step is STUBBED
+(this container has no image/audio libraries): `decode_image` raises
+NotImplementedError unless `fake=True`, in which case a deterministic fake
+decoder produces stable pseudo-pixels from the bytes so downstream feature
+extraction is exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
+                "width int, height int, duration_ms int")
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = hash-derived bytes)."""
+    df = spark.range(n)
+    return df.select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.md5(F.col("id").cast("string")), "UTF-8").alias("payload"),
+        (F.lit(16) + (F.col("id") % 4).cast("int") * 16).alias("width"),
+        (F.lit(16) + (F.col("id") % 3).cast("int") * 16).alias("height"),
+        ((F.col("id") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic pseudo-pixels: repeatable uint8 (h, w, 3) from bytes."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, width: int, height: int,
+                 fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_decode(payload, width, height)
+    raise NotImplementedError(
+        "real image decoding requires PIL/opencv — not in this container; "
+        "pass fake=True for the deterministic stub")
+
+
+def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode -> per-channel mean/std features. mapInPandas; the Arrow batch
+    carries (media_id, payload, width, height); output is narrow floats."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["width"], pdf["height"]):
+                img = decode_image(bytes(payload), int(w), int(h), fake=fake)
+                feats.append((int(mid),
+                              *img.mean(axis=(0, 1)).tolist(),
+                              float(img.std())))
+            yield pd.DataFrame(feats, columns=[
+                "media_id", "mean_r", "mean_g", "mean_b", "std_all"])
+
+    return (media.filter("kind = 'image'")
+            .select("media_id", "payload", "width", "height")
+            .mapInPandas(run, schema="media_id long, mean_r double, "
+                                     "mean_g double, mean_b double, "
+                                     "std_all double"))
+
+
+def resize_image(media: DataFrame, out_w: int, out_h: int,
+                 fake: bool = True) -> DataFrame:
+    """Nearest-neighbor resize on the decoded pixels; returns re-encoded
+    raw bytes + new dims (the Spark plumbing for a real resize UDF)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["width"], pdf["height"]):
+                img = decode_image(bytes(payload), int(w), int(h), fake=fake)
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                small = img[yi][:, xi]
+                rows.append((int(mid), small.tobytes(), out_w, out_h))
+            yield pd.DataFrame(rows, columns=["media_id", "payload",
+                                              "width", "height"])
+
+    return (media.filter("kind = 'image'")
+            .select("media_id", "payload", "width", "height")
+            .mapInPandas(run, schema="media_id long, payload binary, "
+                                     "width int, height int"))
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled timestamp
+    (native explode of a sequence — the decode itself would slot into a
+    downstream mapInPandas like image_features)."""
+    return (media.filter("kind = 'video'")
+            .withColumn("frame_ts_ms", F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1,
+                           F.lit(every_ms))))
+            .select("media_id", "frame_ts_ms", "payload"))

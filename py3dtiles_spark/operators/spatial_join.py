@@ -1,0 +1,159 @@
+"""Spatial joins: point-in-polygon, point-in-rectangle, tileset routing.
+
+Reference semantics being generalized (SURVEY.md §2.4):
+- J2 point-in-tile containment: half-open range test min <= p < max
+  (export.py:19-21, 141-160) drives quadtree placement
+- J3 tileset->quadrant routing by center containment (merger.py:113-114)
+- north_rule "point-in-polygon joins against tile boundaries": exact
+  polygon PIP = coarse-cell equi-join prefilter + vectorized ray-cast
+
+Physical strategy at scale:
+- small polygon set (dims, admin boundaries): broadcast + bbox prefilter
+  inside the ray-cast UDF — zero shuffle on the points side.
+- large polygon set: both sides mapped to coarse grid cells (polygons via
+  bbox cover, points directly — native exprs), equi-join on cell_id (a
+  shuffle that AQE salts if skewed), then the exact test on the residual
+  candidates. Filter selectivity comes from the grid, exactness from the
+  ray-cast.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def point_in_rect_join(points: DataFrame, rects: DataFrame,
+                       broadcast: bool = True) -> DataFrame:
+    """Half-open containment join: rects (rect_id, xmin, ymin, xmax, ymax);
+    points need (x, y). The reference BoundingBox.inside test."""
+    r = F.broadcast(rects) if broadcast else rects
+    cond = ((points.x >= r.xmin) & (points.x < r.xmax)
+            & (points.y >= r.ymin) & (points.y < r.ymax))
+    return points.join(r, cond, "inner")
+
+
+def ray_cast_mask(px: np.ndarray, py: np.ndarray,
+                  xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast of N points against ONE polygon ring.
+    Float64; edges handled with the standard crossing rule."""
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(xs)
+    j = n - 1
+    for i in range(n):
+        xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+        crosses = ((yi > py) != (yj > py))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (py - yi) / (yj - yi)
+        xint = xi + t * (xj - xi)
+        inside ^= crosses & (px < xint)
+        j = i
+    return inside
+
+
+def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
+                          keep_cols=("point_id",)) -> DataFrame:
+    """Exact PIP join. polygons: (geom_id, xs array<double>, ys array<double>)
+    exterior rings. Polygons are collected + broadcast (dim-table sized);
+    the ray cast runs as one Arrow-batched mapInPandas over the points —
+    no per-row Python, no shuffle.
+
+    Returns one row per (point, containing polygon): keep_cols + geom_id.
+    """
+    polys = [(r["geom_id"],
+              np.asarray(r["xs"], dtype=np.float64),
+              np.asarray(r["ys"], dtype=np.float64))
+             for r in polygons.select("geom_id", "xs", "ys").collect()]
+    bboxes = [(g, xs.min(), xs.max(), ys.min(), ys.max())
+              for g, xs, ys in polys]
+    keep = list(keep_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = pdf["x"].to_numpy(dtype=np.float64)
+            py = pdf["y"].to_numpy(dtype=np.float64)
+            outs = []
+            for (g, xs, ys), (_, x0, x1, y0, y1) in zip(polys, bboxes):
+                cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                if not cand.any():
+                    continue
+                idx = np.flatnonzero(cand)
+                hit = ray_cast_mask(px[idx], py[idx], xs, ys)
+                if hit.any():
+                    rows = pdf.iloc[idx[hit]][keep].copy()
+                    rows["geom_id"] = g
+                    outs.append(rows)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    schema = ", ".join(
+        f"{c} {dict(points.dtypes)[c]}" for c in keep) + ", geom_id long"
+    return points.mapInPandas(run, schema=schema)
+
+
+def grid_cell_cover(xmin, ymin, xmax, ymax, cell_deg: float):
+    """All coarse cells intersecting a bbox (driver/UDF helper)."""
+    import math
+    cells = []
+    cx0 = math.floor(xmin / cell_deg)
+    cx1 = math.floor(xmax / cell_deg)
+    cy0 = math.floor(ymin / cell_deg)
+    cy1 = math.floor(ymax / cell_deg)
+    for cx in range(cx0, cx1 + 1):
+        for cy in range(cy0, cy1 + 1):
+            cells.append(cx * 100000 + cy)
+    return cells
+
+
+def point_cell_id(cell_deg: float):
+    """Native expression: the coarse grid cell of a point — the scale path's
+    equi-join key (same Morton/H3-family quantization as the LOD grid)."""
+    return (F.floor(F.col("x") / cell_deg) * 100000
+            + F.floor(F.col("y") / cell_deg)).alias("cell_id")
+
+
+def point_in_polygon_join_large(points: DataFrame, polygons: DataFrame,
+                                cell_deg: float = 5.0,
+                                keep_cols=("point_id",)) -> DataFrame:
+    """PIP for polygon sets too big to broadcast whole: equi-join points to
+    polygon bbox cell covers on a coarse grid, then exact ray-cast per
+    candidate pair inside applyInPandas grouped by geom_id."""
+    cover = F.udf(lambda a, b, c, d: grid_cell_cover(a, b, c, d, cell_deg),
+                  "array<long>")
+    poly_cells = (polygons
+                  .withColumn("bx0", F.array_min("xs"))
+                  .withColumn("bx1", F.array_max("xs"))
+                  .withColumn("by0", F.array_min("ys"))
+                  .withColumn("by1", F.array_max("ys"))
+                  .withColumn("cell_id", F.explode(
+                      cover("bx0", "by0", "bx1", "by1"))))
+    pts = points.withColumn("cell_id", point_cell_id(cell_deg))
+    cand = pts.join(poly_cells.select("geom_id", "cell_id", "xs", "ys"),
+                    "cell_id")
+    keep = list(keep_cols)
+    schema = ", ".join(
+        f"{c} {dict(points.dtypes)[c]}" for c in keep) + ", geom_id long"
+
+    def exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = np.asarray(pdf["xs"].iat[0], dtype=np.float64)
+        ys = np.asarray(pdf["ys"].iat[0], dtype=np.float64)
+        hit = ray_cast_mask(pdf["x"].to_numpy(np.float64),
+                            pdf["y"].to_numpy(np.float64), xs, ys)
+        out = pdf.loc[hit, keep + ["geom_id"]]
+        return out
+
+    return cand.groupBy("geom_id").applyInPandas(exact, schema=schema)
+
+
+def route_to_quadrant(items: DataFrame, aabb) -> DataFrame:
+    """Tileset->quadrant routing (merger.py:104-114): which forced-quadtree
+    child of `aabb` contains each item's (x, y) center. Pure expression."""
+    cx = (aabb[0][0] + aabb[1][0]) / 2.0
+    cy = (aabb[0][1] + aabb[1][1]) / 2.0
+    return items.withColumn(
+        "quadrant",
+        (F.when(F.col("x") >= cx, 4).otherwise(0)
+         + F.when(F.col("y") >= cy, 2).otherwise(0)).cast("int"))

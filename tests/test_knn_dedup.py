@@ -1,0 +1,115 @@
+import numpy as np
+
+from py3dtiles_spark.operators.dedup import (
+    dedup_by_pairs, embedding_near_dup_pairs, exact_dedup, minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_near_dup_pairs)
+from py3dtiles_spark.operators.knn import (
+    ann_lsh_embeddings, knn_embeddings, knn_points, lod_budget_select)
+
+
+def _emb_df(spark, n=400, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(int(i), m[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), m
+
+
+def test_knn_points_exact(spark):
+    rng = np.random.default_rng(1)
+    xyz = rng.uniform(0, 100, (3000, 3))
+    rows = [(int(i), *map(float, xyz[i])) for i in range(3000)]
+    df = spark.createDataFrame(rows, "point_id long, x double, y double, z double").repartition(6)
+    queries = [(0, 50.0, 50.0, 50.0), (1, 0.0, 0.0, 0.0)]
+    got = knn_points(df, queries, k=5).collect()
+    for qid, qx, qy, qz in queries:
+        d = np.sqrt(((xyz - np.array([qx, qy, qz])) ** 2).sum(axis=1))
+        exp = set(np.argsort(d, kind="stable")[:5].tolist())
+        mine = {r.n_id for r in got if r.q_id == qid}
+        assert mine == exp
+
+
+def test_knn_embeddings_exact(spark):
+    df, m = _emb_df(spark)
+    df = df.repartition(5)
+    q = [(7, m[7].astype(np.float64))]
+    got = [r.n_id for r in knn_embeddings(df, q, k=4).collect()]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[7]
+    exp = np.argsort(-sims, kind="stable")[:4].tolist()
+    assert got == exp
+    assert got[0] == 7  # self is nearest
+
+
+def test_ann_lsh_contains_self_and_subset_of_bucket(spark):
+    df, m = _emb_df(spark)
+    q = [(3, m[3].astype(np.float64))]
+    got = knn_embeddings(df, q, k=1).collect()
+    ann = ann_lsh_embeddings(df, q, k=1, n_planes=4)
+    assert ann.collect()[0].n_id == got[0].n_id == 3
+
+
+def test_lod_budget_select(spark):
+    rows = [(i, "a" if i < 100 else "b") for i in range(150)]
+    df = spark.createDataFrame(rows, "point_id long, tile_id string")
+    out = lod_budget_select(df, budget=30)
+    counts = {r.tile_id: r["count"] for r in out.groupBy("tile_id").count().collect()}
+    assert counts == {"a": 30, "b": 30}
+    # deterministic
+    again = lod_budget_select(df, budget=30)
+    assert sorted(r.point_id for r in out.collect()) == \
+           sorted(r.point_id for r in again.collect())
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base), (1, base),                              # exact dup
+        (2, base.replace("quick", "rapid")),               # near dup
+        (3, "completely different text about spark sql engines and shuffles here now"),
+        (4, "completely different text about spark sql engines and shuffles here now"),
+        (5, "unrelated short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 2, 3, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), num_perm=16, bands=8,
+                              threshold=0.4, shingle_n=3)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got and (3, 4) in got
+    assert all(p[0] < p[1] for p in got)
+    deduped = dedup_by_pairs(_docs(spark), pairs)
+    kept = {r.doc_id for r in deduped.collect()}
+    assert 0 in kept and 1 not in kept and 4 not in kept
+
+
+def test_ngram_jaccard_exact_dup_is_one(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.9)
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0 and got[(3, 4)] == 1.0
+
+
+def test_simhash_near_dups(spark):
+    pairs = simhash_near_dup_pairs(_docs(spark), max_hamming=10)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got and (3, 4) in got
+    hams = {(r.a, r.b): r.hamming for r in pairs.collect()}
+    assert hams[(0, 1)] == 0 and hams[(3, 4)] == 0
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((50, 8))
+    m[10] = m[4] + 1e-4          # planted near-dup
+    m[20] = m[9] * 1.5           # same direction = cos 1
+    rows = [(int(i), m[i].astype(np.float32).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.a, r.b) for r in
+             embedding_near_dup_pairs(df, threshold=0.999, n_planes=4).collect()}
+    assert (4, 10) in pairs and (9, 20) in pairs

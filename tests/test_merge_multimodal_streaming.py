@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from py3dtiles_spark.operators.merge import merge_tilesets, overview_sample
+from py3dtiles_spark.operators.multimodal import (
+    decode_image, image_features, resize_image, sample_frames, synth_media_df)
+from py3dtiles_spark.sources.pages import generate_pages
+from py3dtiles_spark.streaming.pipeline import run_stream_to_memory
+
+
+def _six_tilesets():
+    # six disjoint mini-clouds (FIXTURES.md §5)
+    rows = []
+    for i in range(6):
+        cx, cy = (i % 3) * 100.0, (i // 3) * 100.0
+        rows.append({"tileset_id": i,
+                     "min_x": cx, "min_y": cy, "min_z": 0.0,
+                     "max_x": cx + 10, "max_y": cy + 10, "max_z": 5.0,
+                     "point_count": 1000 + i})
+    return rows
+
+
+def test_merge_routes_by_center_quadrant():
+    doc = merge_tilesets(_six_tilesets(), min_diag=1.0)
+    assert doc["asset"]["version"] == "1.0"
+    root = doc["root"]
+    assert root["refine"] == "ADD"
+    # geometricError = sum of children (merger.py:229)
+    assert root["geometricError"] == pytest.approx(
+        sum(c["geometricError"] for c in root["children"]))
+
+    # every leaf content uri appears exactly once
+    uris = []
+    def walk(n):
+        if "content" in n:
+            uris.append(n["content"]["uri"])
+        for c in n.get("children", []):
+            walk(c)
+    walk(root)
+    assert sorted(uris) == [f"tileset_{i}.json" for i in range(6)]
+
+
+def test_merge_single_tileset_is_leaf():
+    doc = merge_tilesets(_six_tilesets()[:1])
+    assert doc["root"]["content"]["uri"] == "tileset_0.json"
+
+
+def test_overview_sample_ratio_and_determinism(spark):
+    df = spark.range(10000).withColumnRenamed("id", "point_id")
+    s1 = overview_sample(df, total=10000, cap=2000)
+    s2 = overview_sample(df, total=10000, cap=2000)
+    n = s1.count()
+    assert abs(n - 2000) < 300          # ratio = 0.2 within tolerance
+    assert s1.collect() == s2.collect()  # hash-ordered, reproducible
+    half = overview_sample(df, total=10000, cap=999999).count()
+    assert abs(half - 5000) < 400       # capped at 0.5
+
+
+def test_multimodal_features_and_resize(spark):
+    media = synth_media_df(spark, 30)
+    feats = image_features(media).collect()
+    assert len(feats) == sum(1 for r in media.collect() if r.kind == "image")
+    assert all(0 <= r.mean_r <= 255 for r in feats)
+    # deterministic: same payload -> same features
+    again = image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+    small = resize_image(media, 4, 4).collect()
+    assert all(len(r.payload) == 4 * 4 * 3 for r in small)
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", 2, 2, fake=False)
+
+
+def test_sample_frames(spark):
+    media = synth_media_df(spark, 30)
+    frames = sample_frames(media, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    durs = {r.media_id: r.duration_ms for r in media.collect()}
+    for r in per:
+        assert r["count"] == durs[r.media_id] // 1000 + (1 if durs[r.media_id] % 1000 else 0)
+
+
+def test_streaming_windowed_cell_counts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    generate_pages(spark, 500).write.parquet(src)
+    result = run_stream_to_memory(spark, src, query_name="t_cells")
+    rows = result.collect()
+    assert sum(r.docs for r in rows) == 500
+    assert all(r.window_start is not None and r.cell_id is not None
+               for r in rows)

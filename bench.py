@@ -1,0 +1,90 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+- flagship_tiling: docs/sec tiled end-to-end (geocode -> H3-style cell
+  encode -> octree assignment -> tiles table) over a deterministically
+  generated Common-Crawl-style pages table ($SPARK_GRAFT_BENCH_DOCS rows,
+  default 300000, 30% skewed into 3 megacity cells)
+- tileset_emit: BVH rollup + tileset.json from the flagship's output
+- minhash_neardup / knn_top5 / pip_polygon / pricing_summary /
+  hourly_events over the driver testdata tables
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from py3dtiles_spark.operators.tileset import (
+        build_tiles_df, build_tileset_json, rollup_small_children)
+    from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
+    from py3dtiles_spark.session import get_spark
+    from py3dtiles_spark.sources.pages import generate_pages, pages_as_points
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=2 * CPUS)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- flagship: pages -> octree tiles --------------------------------
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    t0 = time.time()
+    points = pages_as_points(generate_pages(spark, BENCH_DOCS), skew=True)
+    res = build_tiling(spark, points,
+                       TilingConfig(checkpoint_dir=ckpt,
+                                    in_kernel_threshold=262_144))
+    assert res.counters["points_assigned"] == BENCH_DOCS, res.counters
+    timings["flagship_tiling"] = round(time.time() - t0, 3)
+    extra["docs_per_sec"] = round(BENCH_DOCS / timings["flagship_tiling"], 1)
+
+    t0 = time.time()
+    assigned = points.join(res.assignments, "point_id")
+    assigned = rollup_small_children(assigned)
+    tiles = build_tiles_df(assigned)
+    docs = build_tileset_json(tiles.collect(), res.root_aabb, res.root_spacing)
+    assert "tileset.json" in docs
+    timings["tileset_emit"] = round(time.time() - t0, 3)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # ---- operator headliners over driver testdata -----------------------
+    qs = entrymod.queries()
+    for name in ["neardup_pairs", "knn_top5", "pip_polygon",
+                 "pricing_summary", "hourly_events", "tiling_octree"]:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        extra[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "bench_docs": BENCH_DOCS,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

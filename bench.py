@@ -48,7 +48,7 @@ def main() -> None:
     points = pages_as_points(generate_pages(spark, BENCH_DOCS), skew=True)
     res = build_tiling(spark, points,
                        TilingConfig(checkpoint_dir=ckpt,
-                                    in_kernel_threshold=262_144))
+                                    in_kernel_threshold=40_000))
     assert res.counters["points_assigned"] == BENCH_DOCS, res.counters
     timings["flagship_tiling"] = round(time.time() - t0, 3)
     extra["docs_per_sec"] = round(BENCH_DOCS / timings["flagship_tiling"], 1)

@@ -1,0 +1,113 @@
+"""CLI entry point — mirrors the reference's `py3dtiles` subcommands
+(command_line.py:19-51) as spark-submit-able jobs.
+
+Cluster launch (north_rule):
+
+    python scripts/make_pyfiles_zip.py          # build dist/py3dtiles_spark.zip
+    spark-submit --py-files dist/py3dtiles_spark.zip \
+        --master <cluster> [--conf ...] \
+        cli.py convert --input pages.parquet --output out/ --resume
+
+Local: python -m py3dtiles_spark convert --n-docs 100000 --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="py3dtiles_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="pages/points -> 3D Tiles")
+    c.add_argument("--input", help="parquet of pages (url,warc_ts,html,text,lang) "
+                                   "or points (point_id,x,y,z)")
+    c.add_argument("--n-docs", type=int, default=0,
+                   help="generate a synthetic pages table instead of --input")
+    c.add_argument("--output", required=True)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--skew", action="store_true")
+    c.add_argument("--split-threshold", type=int, default=20000)
+    c.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    c.add_argument("--write-pnts", action="store_true")
+
+    m = sub.add_parser("merge", help="federate tilesets")
+    m.add_argument("--input", required=True,
+                   help="parquet of tileset rows (tileset_id,min_x..max_z,point_count)")
+    m.add_argument("--output", required=True)
+
+    i = sub.add_parser("info", help="decode a .pnts file")
+    i.add_argument("path")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "info":
+        from py3dtiles_spark.sources.pnts import decode_pnts
+        with open(args.path, "rb") as f:
+            xyz, rgb, ft = decode_pnts(f.read())
+        print(json.dumps({"points_length": ft["POINTS_LENGTH"],
+                          "has_rgb": rgb is not None,
+                          "feature_table": ft}))
+        return 0
+
+    from py3dtiles_spark.session import get_spark
+    spark = get_spark("py3dtiles-spark-cli", cpus=args.cpus)
+
+    if args.cmd == "merge":
+        from py3dtiles_spark.operators.merge import merge_tilesets
+        rows = spark.read.parquet(args.input).collect()
+        doc = merge_tilesets(rows)
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "tileset.json"), "w") as f:
+            json.dump(doc, f)
+        print(f"merged {len(rows)} tilesets -> {args.output}/tileset.json")
+        return 0
+
+    # convert
+    from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
+    from py3dtiles_spark.operators.tileset import (
+        build_tiles_df, build_tileset_json, rollup_small_children)
+    from py3dtiles_spark.sources.pages import generate_pages, pages_as_points
+
+    if args.n_docs:
+        points = pages_as_points(generate_pages(spark, args.n_docs),
+                                 skew=args.skew)
+    else:
+        df = spark.read.parquet(args.input)
+        if "point_id" in df.columns:
+            points = df
+        else:
+            points = pages_as_points(df, skew=args.skew)
+
+    os.makedirs(args.output, exist_ok=True)
+    cfg = TilingConfig(split_threshold=args.split_threshold,
+                       checkpoint_dir=os.path.join(args.output, "checkpoint"))
+    res = build_tiling(spark, points, cfg, resume=args.resume)
+
+    assigned = points.join(res.assignments, "point_id")
+    assigned = rollup_small_children(assigned)
+    tiles = build_tiles_df(assigned)
+    docs = build_tileset_json(tiles.collect(), res.root_aabb,
+                              res.root_spacing, cfg.scale)
+    for name, doc in docs.items():
+        with open(os.path.join(args.output, name), "w") as f:
+            json.dump(doc, f)
+    if args.write_pnts:
+        from py3dtiles_spark.sources.pnts import tiles_to_pnts_df, write_pnts_files
+        n = write_pnts_files(tiles_to_pnts_df(assigned.select(
+            "point_id", "x", "y", "z", "tile_id")), args.output)
+        print(f"wrote {n} pnts files")
+    print(json.dumps({"points": res.counters.get("points_assigned"),
+                      "levels": len(res.counters["levels"]),
+                      "tiles": tiles.count(),
+                      "tileset_docs": list(docs)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,8 +97,14 @@ def child_index_for_node(xyz: np.ndarray, aabb: np.ndarray) -> np.ndarray:
 def xyz_to_key(xyz: np.ndarray, cell_count: np.ndarray, aabb_min: np.ndarray,
                inv_aabb_size: np.ndarray, shift: int) -> np.ndarray:
     """Bit-packed grid cell key: clamped per-axis cell index, y<<shift,
-    z<<2*shift, summed. Same Morton-family packing as an H3/S2 encode."""
-    a = ((cell_count * inv_aabb_size) * (xyz - aabb_min)).astype(np.int64)
+    z<<2*shift, summed. Same Morton-family packing as an H3/S2 encode.
+
+    All arithmetic is pinned to float32 (the reference's numba kernel lets
+    numpy promote int32*float32 to float64; we keep strict float32 so the
+    result is bit-identical to Spark's native float expression — the engine
+    computes this key JVM-side with float columns)."""
+    scalef = (cell_count * inv_aabb_size).astype(np.float32)
+    a = (scalef * (xyz.astype(np.float32) - aabb_min)).astype(np.int64)
     a = np.minimum(np.maximum(a, 0), cell_count - 1)
     a[:, 1] <<= shift
     a[:, 2] <<= 2 * shift
@@ -125,28 +131,145 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
     insertion-order dependent (SURVEY.md §7.4 item 1).
 
     Returns a boolean accept mask. Distances are computed in float32 with
-    the reference's (a-b)**2 ordering.
+    the reference's (a-b)**2 term ordering (distance.py:10-12).
+
+    Implementation: spatial-hash bins of width = spacing. A previously-
+    accepted point can only reject a candidate if it lies within spacing,
+    i.e. inside the candidate's 3x3x3 bin neighborhood; spacing-packing
+    bounds accepted points per bin to a handful, so the scan is O(n)
+    instead of the naive O(n^2) — the same output, orders of magnitude
+    faster on skew-hot cells (megacity scenario).
     """
     n = xyz.shape[0]
     accept = np.zeros(n, dtype=bool)
     if n == 0:
         return accept
-    pts = xyz.astype(np.float32, copy=False)
-    kept = np.empty((n, 3), dtype=np.float32)
-    k = 0
+    pts = np.ascontiguousarray(xyz, dtype=np.float32)
     sq = np.float32(squared_spacing)
-    for i in range(n):
-        if k == 0:
-            kept[0] = pts[i]
-            k = 1
-            accept[i] = True
-            continue
-        d = kept[:k] - pts[i]
-        if not (np.einsum("ij,ij->i", d, d) < sq).any():
-            kept[k] = pts[i]
-            k += 1
-            accept[i] = True
+    spacing = float(np.sqrt(squared_spacing))
+    if spacing <= 0:
+        accept[:] = True
+        return accept
+
+    bins = np.floor(pts.astype(np.float64) / spacing).astype(np.int64)
+    keys = _pack_bins(bins)
+
+    # Round-based exact algorithm. Each round takes a HEAD of the pending
+    # points, in canonical order:
+    #  1. vectorized-cull the head against ALL previously-accepted points
+    #     (rejection against an earlier accept is order-independent, so
+    #     this is exact and runs at numpy speed — in skew-hot cells
+    #     (megacity clusters) it kills ~everything);
+    #  2. survivors run the plain sequential bin-hash accept loop (a
+    #     candidate only compares against accepted points in its 3x3x3
+    #     bin neighborhood; spacing-packing bounds those to a handful).
+    # Every point is culled exactly once and loop-scanned at most once.
+    head_size = 8192
+    pos = 0
+    acc_keys = np.empty(0, dtype=np.int64)
+    acc_idx = np.empty(0, dtype=np.int64)
+    buckets: dict = {}
+    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+    pending_keys: list = []
+    pending_idx: list = []
+    while pos < n:
+        h = min(head_size, n - pos)
+        head = np.arange(pos, pos + h)
+        if acc_idx.size:
+            head = head[_not_near_accepted(pts, keys, head,
+                                           acc_keys, acc_idx, sq)]
+        for i in head:
+            bx, by, bz = bins[i]
+            x, y, z = px[i], py[i], pz[i]
+            rejected = False
+            for nx in (bx - 1, bx, bx + 1):
+                for ny in (by - 1, by, by + 1):
+                    for nz in (bz - 1, bz, bz + 1):
+                        cell = buckets.get((nx, ny, nz))
+                        if not cell:
+                            continue
+                        for (ax, ay, az) in cell:
+                            if (x - ax) * (x - ax) + (y - ay) * (y - ay) \
+                                    + (z - az) * (z - az) < sq:
+                                rejected = True
+                                break
+                        if rejected:
+                            break
+                    if rejected:
+                        break
+                if rejected:
+                    break
+            if not rejected:
+                accept[i] = True
+                buckets.setdefault((bx, by, bz), []).append((x, y, z))
+                pending_keys.append(keys[i])
+                pending_idx.append(i)
+        pos += h
+        if pending_keys:
+            acc_keys = np.concatenate(
+                [acc_keys, np.array(pending_keys, dtype=np.int64)])
+            acc_idx = np.concatenate(
+                [acc_idx, np.array(pending_idx, dtype=np.int64)])
+            pending_keys, pending_idx = [], []
+        if head.size < h // 2:
+            head_size = min(head_size * 2, 1 << 19)
     return accept
+
+
+_BIN_OFF = 1 << 20
+_BIN_M = 1 << 21
+
+
+def _pack_bins(bins: np.ndarray) -> np.ndarray:
+    b = np.clip(bins + _BIN_OFF, 0, _BIN_M - 1)
+    return (b[:, 0] * _BIN_M + b[:, 1]) * _BIN_M + b[:, 2]
+
+
+def _not_near_accepted(pts, keys, cand_idx, acc_keys, acc_idx, sq):
+    """Vectorized: True for candidates NOT within spacing of any accepted
+    point. Neighbor-bin pairs found via searchsorted over sorted accepted
+    bin keys; distances in float32 (elementwise IEEE — identical to the
+    scalar test)."""
+    order = np.argsort(acc_keys, kind="stable")
+    ak = acc_keys[order]
+    ai = acc_idx[order]
+    alive = np.ones(cand_idx.size, dtype=bool)
+    ck = keys[cand_idx]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                off = (dx * _BIN_M + dy) * _BIN_M + dz
+                probe = ck[alive] + off
+                live_pos = np.flatnonzero(alive)
+                lo = np.searchsorted(ak, probe, "left")
+                hi = np.searchsorted(ak, probe, "right")
+                cnt = hi - lo
+                hitp = cnt > 0
+                if not hitp.any():
+                    continue
+                # expand ragged matches into flat pair lists
+                c_sel = live_pos[hitp]
+                lo_h, cnt_h = lo[hitp], cnt[hitp]
+                pair_c = np.repeat(c_sel, cnt_h)
+                pair_a = ai[_ragged_ranges(lo_h, cnt_h)]
+                cp = pts[cand_idx[pair_c]]
+                ap = pts[pair_a]
+                d = cp - ap
+                near = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+                        + d[:, 2] * d[:, 2]) < sq
+                if near.any():
+                    alive[np.unique(pair_c[near])] = False
+    return alive
+
+
+def _ragged_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate ranges start_i .. start_i+count_i (vectorized)."""
+    total = int(counts.sum())
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return np.cumsum(out)
 
 
 def accept_mask_for_cells(xyz: np.ndarray, cell_keys: np.ndarray,

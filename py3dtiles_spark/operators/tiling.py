@@ -3,35 +3,45 @@
 Spark-first re-expression of the reference tiler (py3dtiles/convert.py:318-673
 master/worker loop). The reference shuffles point batches between processes
 over ZMQ keyed by node name; here each "ZMQ hop" is one Spark shuffle and the
-build is a level-synchronous iteration (SURVEY.md §3.1 "Spark shape"):
+build is a level-synchronous iteration (SURVEY.md §3.1 "Spark shape").
 
-  level N pending points (point_id, x, y, z, tile_id)
-    -> groupBy(tile_id).count()           # tiny: one row per live node
-    -> broadcast-join the per-node decision back onto the points:
-         leaf   (count < 20000 or spacing floor): accept ALL rows — pure
-                DataFrame op, no UDF (node.py:70-73 semantics)
-         local  (count small enough): groupBy(tile_id) + applyInPandas
-                kernel recursing the WHOLE subtree in one task — zero
-                further shuffles for that subtree (the reference's
-                depth-limited pipelining, node_process.py:82-90, taken to
-                its limit)
-         cell   (huge node): compute the LOD-grid cell key as a vectorized
-                Arrow UDF and groupBy(tile_id, cell_key) — the acceptance
-                test is per-cell independent (points_grid.py:22-31 scans
-                only the same cell), so a hot node fans out over 27+ tasks
-                instead of serializing on one worker. This is the skew
-                answer for megacity cells at 10^12 docs.
-    -> kernel output written ONCE to parquet (the per-level checkpoint:
-       resumable, lineage-truncating), then split into accepted
-       assignments and next-level pending (rejects forwarded to children).
+Per level, exactly TWO jobs:
 
-Points are carried NARROW through the loop (point_id + xyz only, float32);
+  1. counts: groupBy(tile_id).count() — one row per live node, collected to
+     the driver (node-count sized). The driver assigns each node a mode:
+       leaf   count < 20000 or spacing floor  -> accept all (node.py:70-73)
+       local  count <= in_kernel_threshold    -> one task recurses the WHOLE
+              subtree (the reference's depth-limited pipelining,
+              node_process.py:82-90, taken to its limit: zero further
+              shuffles for that subtree)
+       cell   huge node -> fan out by LOD-grid cell: the acceptance test is
+              per-cell independent (points_grid.py:22-31 scans only the
+              same cell), so a hot node runs as 27+ parallel tasks instead
+              of serializing on one worker — the skew answer for megacity
+              cells at 10^12 docs.
+     and, for cell nodes, derives the float32 grid constants from the tile
+     name (stateless, points/utils.py:83-88).
+
+  2. kernel: ONE shuffle on (tile_id, group_key) — group_key is the grid
+     cell for 'cell' nodes (computed NATIVELY in float32 column arithmetic,
+     bit-identical to the numpy kernel; no Python pre-pass) and 0 otherwise
+     — into ONE applyInPandas kernel handling all three modes, written ONCE
+     to parquet. That parquet is the per-level checkpoint: resumable,
+     lineage-truncating; accepted rows and next-level forwards are both
+     filters over it (no extra writes).
+
+Points are carried NARROW through the loop (point_id + xyz float32 only);
 payload columns (url, html, text...) are joined back once at the end — at
 100 TB you never shuffle the html through the tree.
 
-Counters (points in / accepted / forwarded / nodes per level) are recorded
-in a manifest JSON per level; the written==read invariant of the reference
-(convert.py:652-653) is asserted at the end.
+The driver-side node list is one row per live node per level. At 10^12 docs
+the deepest levels hold ~1e6 nodes * ~30 bytes — still driver-friendly; the
+counts collect is the same "master knows the work queue" the reference keeps
+in State (convert.py:217-239).
+
+Counters (points in / nodes / modes / phase seconds per level) land in a
+manifest JSON per level; the written==read invariant of the reference
+(convert.py:652-653) is asserted on completion.
 """
 
 from __future__ import annotations
@@ -40,8 +50,9 @@ import json
 import os
 import shutil
 import tempfile
+import time
 from dataclasses import dataclass, field
-from typing import Iterator, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -51,11 +62,10 @@ from py3dtiles_spark.functions.geometry import (
     GRID_INITIAL_CELL_COUNT,
     MIN_SPACING,
     SPLIT_THRESHOLD,
-    cell_keys_for_node,
-    child_index_for_node,
-    compute_spacing,
     node_geometry,
     sequential_accept,
+    child_index_for_node,
+    compute_spacing,
 )
 from py3dtiles_spark.operators.replay import assign_subtree
 
@@ -63,13 +73,32 @@ PENDING_SCHEMA = "point_id long, x float, y float, z float, tile_id string"
 KERNEL_SCHEMA = PENDING_SCHEMA + ", accepted boolean"
 ASSIGN_SCHEMA = "point_id long, tile_id string"
 
+_NODE_META_SCHEMA = ("tile_id string, mode string, "
+                     "mnx float, mny float, mnz float, "
+                     "sx float, sy float, sz float")
+
 
 @dataclass
 class TilingConfig:
     scale: float = 1.0
     split_threshold: int = SPLIT_THRESHOLD
-    # nodes at or below this size finish their whole subtree in one task
-    in_kernel_threshold: int = 131_072
+    # nodes at or below this size finish their whole subtree in one task;
+    # keep near 2x split_threshold so big nodes keep fanning out per-cell
+    in_kernel_threshold: int = 40_000
+    # once a level has enough nodes to saturate the cluster, nodes up to
+    # this many rows resolve their whole subtree in-task (local mode)
+    # instead of paying shuffle+Arrow plumbing for every remaining level.
+    # The effective local cutoff is
+    #   max(in_kernel_threshold,
+    #       min(local_hard_cap, level_points / (local_parallelism_factor *
+    #                                           defaultParallelism)))
+    local_hard_cap: int = 2_000_000
+    local_parallelism_factor: int = 2
+    # parallelism used for the local-cutoff rule. None = the session's
+    # defaultParallelism; set a fixed value to make the level plan
+    # independent of the core count (identical plans across cluster sizes,
+    # required for apples-to-apples scaling measurements)
+    plan_parallelism: Optional[int] = None
     max_levels: int = 32
     checkpoint_dir: Optional[str] = None
     # optional approximation for extreme scale: only the first N canonical
@@ -100,15 +129,32 @@ def compute_root_aabb(points: DataFrame):
     return aabb, compute_spacing(aabb)
 
 
-def _cell_kernel(cfg: TilingConfig, root_aabb, root_spacing):
-    """Grouped-map kernel over one (tile_id, cell_key) group: canonical-order
-    sequential accept; rejects routed to the child octant."""
+def _unified_kernel(cfg: TilingConfig, root_aabb, root_spacing):
+    """One grouped-map kernel for all three node modes. The group is
+    (tile_id, group_key); `mode` rides as a column (constant per group)."""
     cap = cfg.grid_sample_cap
-    scale = cfg.scale
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("point_id", kind="stable").reset_index(drop=True)
+        mode = pdf["mode"].iat[0]
         tile_id = pdf["tile_id"].iat[0]
+        base = pdf[["point_id", "x", "y", "z", "tile_id"]]
+        if mode == "leaf":
+            out = base.copy()
+            out["accepted"] = True
+            return out
+        if mode == "local":
+            pdf = pdf.sort_values("point_id", kind="stable")
+            ids = pdf["point_id"].to_numpy()
+            xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float32)
+            tiles = assign_subtree(ids, xyz, tile_id, root_aabb,
+                                   root_spacing, cfg.scale,
+                                   cfg.split_threshold)
+            return pd.DataFrame({
+                "point_id": ids,
+                "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+                "tile_id": tiles, "accepted": True})
+        # cell mode: canonical-order accept within one grid cell
+        pdf = base.sort_values("point_id", kind="stable").reset_index(drop=True)
         aabb, spacing = node_geometry(tile_id, root_aabb, root_spacing)
         xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float32)
         if cap is not None and len(pdf) > cap:
@@ -116,7 +162,7 @@ def _cell_kernel(cfg: TilingConfig, root_aabb, root_spacing):
             accept[:cap] = sequential_accept(xyz[:cap], spacing * spacing)
         else:
             accept = sequential_accept(xyz, spacing * spacing)
-        out = pdf.drop(columns=["cell_key"], errors="ignore").copy()
+        out = pdf.copy()
         out["accepted"] = accept
         rej = ~accept
         if rej.any():
@@ -127,35 +173,54 @@ def _cell_kernel(cfg: TilingConfig, root_aabb, root_spacing):
     return kernel
 
 
-def _subtree_kernel(cfg: TilingConfig, root_aabb, root_spacing):
-    """Grouped-map kernel over one tile_id group small enough to finish
-    locally: recurse the whole subtree with the canonical replay."""
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        tile_id = pdf["tile_id"].iat[0]
-        ids = pdf["point_id"].to_numpy()
-        xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float32)
-        tiles = assign_subtree(ids, xyz, tile_id, root_aabb, root_spacing,
-                               cfg.scale, cfg.split_threshold)
-        return pd.DataFrame({"point_id": ids, "tile_id": tiles})
-
-    return kernel
-
-
-def _cell_key_udf_factory(cfg: TilingConfig, root_aabb, root_spacing):
-    """Vectorized Arrow UDF computing the LOD-grid cell key, float32-exact
-    (reference xyz_to_key, distance.py:24-32). mapInPandas-style iterator so
-    per-tile geometry is derived once per batch."""
-    cell_count = cfg.cell_count
-
-    def compute(batch: pd.DataFrame) -> pd.Series:
-        keys = np.empty(len(batch), dtype=np.int32)
-        xyz = batch[["x", "y", "z"]].to_numpy(dtype=np.float32)
-        for tid, idx in batch.groupby("tile_id", sort=False).indices.items():
+def _node_meta_rows(counts_rows, cfg: TilingConfig, root_aabb, root_spacing,
+                    parallelism: int = 32):
+    """Driver-side routing: per live node -> mode + float32 grid constants
+    (for cell nodes: aabb_min and scale = cell_count * inv_aabb_size, both
+    float32 so the native key expression is bit-identical to the numpy
+    kernel)."""
+    spacing_floor = MIN_SPACING * cfg.scale
+    level_total = sum(r["cnt"] for r in counts_rows)
+    local_cutoff = max(
+        cfg.in_kernel_threshold,
+        min(cfg.local_hard_cap,
+            level_total // max(1, cfg.local_parallelism_factor * parallelism)))
+    rows = []
+    for r in counts_rows:
+        tid, cnt = r["tile_id"], r["cnt"]
+        spacing = root_spacing * (0.5 ** len(tid))
+        if cnt < cfg.split_threshold or spacing <= spacing_floor:
+            rows.append((tid, "leaf", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        elif cnt <= local_cutoff:
+            rows.append((tid, "local", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        else:
             aabb, _ = node_geometry(tid, root_aabb, root_spacing)
-            keys[idx] = cell_keys_for_node(xyz[idx], aabb, cell_count)
-        return keys
+            size = (aabb[1] - aabb[0]).astype(np.float32)
+            inv = (np.float32(1.0) / size).astype(np.float32)
+            scale = (np.array([cfg.cell_count] * 3, dtype=np.int32)
+                     * inv).astype(np.float32)
+            rows.append((tid, "cell",
+                         float(aabb[0][0]), float(aabb[0][1]), float(aabb[0][2]),
+                         float(scale[0]), float(scale[1]), float(scale[2])))
+    return rows
 
-    return compute
+
+def _native_cell_key(cfg: TilingConfig):
+    """group_key as a pure float32 column expression (reference xyz_to_key,
+    distance.py:24-32): clamped per-axis index, packed y<<s | z<<2s."""
+    c = cfg.cell_count
+    shift = int(c - 1).bit_length()
+
+    def axis(col, mn, sc):
+        prod = (F.col(sc).cast("float")
+                * (F.col(col).cast("float") - F.col(mn).cast("float"))
+                .cast("float")).cast("float")
+        return F.least(F.greatest(prod.cast("long"), F.lit(0)), F.lit(c - 1))
+
+    key = (axis("x", "mnx", "sx")
+           + F.shiftleft(axis("y", "mny", "sy"), shift)
+           + F.shiftleft(axis("z", "mnz", "sz"), 2 * shift))
+    return F.when(F.col("mode") == "cell", key).otherwise(F.lit(0))
 
 
 def build_tiling(spark: SparkSession, points: DataFrame,
@@ -201,94 +266,85 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     if start_level == 0:
         pending = narrow.withColumn("tile_id", F.lit(""))
     else:
-        prev = os.path.join(ckpt, f"level={start_level - 1}", "pending")
-        pending = spark.read.schema(PENDING_SCHEMA).parquet(prev)
+        prev = os.path.join(ckpt, f"level={start_level - 1}", "out")
+        pending = (spark.read.schema(KERNEL_SCHEMA).parquet(prev)
+                   .filter("NOT accepted").drop("accepted"))
 
-    spacing_floor = MIN_SPACING * cfg.scale
-    cell_key_fn = _cell_key_udf_factory(cfg, root_aabb, root_spacing)
-
-    def cell_key_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in it:
-            batch = batch.copy()
-            batch["cell_key"] = cell_key_fn(batch)
-            yield batch
-
+    kernel = _unified_kernel(cfg, root_aabb, root_spacing)
+    group_key = _native_cell_key(cfg)
     complete = False
+
+    # kernel groups are CPU-heavy but byte-tiny (narrow rows): AQE's
+    # byte-based partition coalescing would serialize them onto a few
+    # tasks — disable it for the level loop, restore after
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _coalesce_prev = spark.conf.get(_coalesce_key, "true")
+    spark.conf.set(_coalesce_key, "false")
+
     for level in range(start_level, cfg.max_levels):
         lv_dir = os.path.join(ckpt, f"level={level}")
-        counts = pending.groupBy("tile_id").agg(F.count("*").alias("cnt"))
-        counts = counts.withColumn(
-            "node_spacing",
-            F.lit(root_spacing) * F.pow(F.lit(0.5), F.length("tile_id")))
-        counts = counts.withColumn(
-            "mode",
-            F.when((F.col("cnt") < cfg.split_threshold)
-                   | (F.col("node_spacing") <= spacing_floor), F.lit("leaf"))
-             .when(F.col("cnt") <= cfg.in_kernel_threshold, F.lit("local"))
-             .otherwise(F.lit("cell")))
-        tagged = pending.join(
-            F.broadcast(counts.select("tile_id", "mode")), "tile_id")
+        t0 = time.time()
+        counts_rows = (pending.groupBy("tile_id")
+                       .agg(F.count("*").alias("cnt")).collect())
+        t_counts = time.time() - t0
+        n_in = sum(r["cnt"] for r in counts_rows)
+        if n_in == 0:
+            complete = True
+            break
 
-        # leaf: accept everything, no UDF
-        leaves = (tagged.filter(F.col("mode") == "leaf")
-                  .select("point_id", "tile_id"))
-        leaves.write.mode("overwrite").parquet(
-            os.path.join(lv_dir, "assigned_leaf"))
+        meta_rows = _node_meta_rows(
+            counts_rows, cfg, root_aabb, root_spacing,
+            cfg.plan_parallelism or spark.sparkContext.defaultParallelism)
+        node_meta = spark.createDataFrame(meta_rows, _NODE_META_SCHEMA)
 
-        # local: finish whole subtrees in one task each
-        local = (tagged.filter(F.col("mode") == "local")
-                 .drop("mode")
-                 .groupBy("tile_id")
-                 .applyInPandas(_subtree_kernel(cfg, root_aabb, root_spacing),
-                                schema=ASSIGN_SCHEMA))
-        local.write.mode("overwrite").parquet(
-            os.path.join(lv_dir, "assigned_local"))
+        t0 = time.time()
+        tagged = pending.join(F.broadcast(node_meta), "tile_id")
+        # leaf rows (the bulk at deep levels) are final as-is: pure JVM
+        # filter, NO shuffle, NO Python — node.py:70-73 leaf semantics
+        leaf_rows = (tagged.filter(F.col("mode") == "leaf")
+                     .select("point_id", "x", "y", "z", "tile_id",
+                             F.lit(True).alias("accepted")))
+        nonleaf = (tagged.filter(F.col("mode") != "leaf")
+                   .withColumn("gk", group_key)
+                   .drop("mnx", "mny", "mnz", "sx", "sy", "sz")
+                   .groupBy("tile_id", "gk")
+                   .applyInPandas(kernel, schema=KERNEL_SCHEMA))
+        (nonleaf.unionByName(leaf_rows)
+         .write.mode("overwrite").parquet(os.path.join(lv_dir, "out")))
+        t_kernel = time.time() - t0
 
-        # cell: one grid level of a huge node, fanned out per cell
-        cellp = (tagged.filter(F.col("mode") == "cell").drop("mode")
-                 .mapInPandas(cell_key_map,
-                              schema=PENDING_SCHEMA + ", cell_key int")
-                 .groupBy("tile_id", "cell_key")
-                 .applyInPandas(_cell_kernel(cfg, root_aabb, root_spacing),
-                                schema=KERNEL_SCHEMA))
-        cellp.write.mode("overwrite").parquet(os.path.join(lv_dir, "cell_out"))
-
-        cell_out = spark.read.schema(KERNEL_SCHEMA).parquet(
-            os.path.join(lv_dir, "cell_out"))
-        (cell_out.filter("accepted").select("point_id", "tile_id")
-         .write.mode("overwrite")
-         .parquet(os.path.join(lv_dir, "assigned_cell")))
-        nxt = cell_out.filter("NOT accepted").drop("accepted")
-        nxt.write.mode("overwrite").parquet(os.path.join(lv_dir, "pending"))
-
-        forwarded = spark.read.schema(PENDING_SCHEMA).parquet(
-            os.path.join(lv_dir, "pending")).count()
-        n_in = pending.count()
+        modes = {}
+        for _, mode, *_ in meta_rows:
+            modes[mode] = modes.get(mode, 0) + 1
         lv_stats = {"level": level, "points_in": n_in,
-                    "forwarded": forwarded,
-                    "accepted": n_in - forwarded,
-                    "nodes": counts.count()}
+                    "nodes": len(meta_rows), "modes": modes,
+                    "sec_counts": round(t_counts, 3),
+                    "sec_kernel": round(t_kernel, 3)}
         with open(os.path.join(lv_dir, "_MANIFEST.json"), "w") as f:
             json.dump(lv_stats, f)
         counters["levels"].append(lv_stats)
 
-        if forwarded == 0:
+        if modes.get("cell", 0) == 0:
+            # leaf/local groups fully resolve their points — nothing forwards
             complete = True
             break
-        pending = spark.read.schema(PENDING_SCHEMA).parquet(
-            os.path.join(lv_dir, "pending"))
+        pending = (spark.read.schema(KERNEL_SCHEMA)
+                   .parquet(os.path.join(lv_dir, "out"))
+                   .filter("NOT accepted").drop("accepted"))
 
-    assignments = spark.read.schema(ASSIGN_SCHEMA).parquet(
-        os.path.join(ckpt, "level=*", "assigned_*"))
+    spark.conf.set(_coalesce_key, _coalesce_prev)
+    assignments = (spark.read.schema(KERNEL_SCHEMA)
+                   .parquet(os.path.join(ckpt, "level=*", "out"))
+                   .filter("accepted").select("point_id", "tile_id"))
 
-    counters["points_total"] = sum(l["points_in"] for l in counters["levels"]
-                                   if l["level"] == 0)
-    counters["points_assigned"] = sum(l["accepted"] for l in counters["levels"])
+    counters["points_total"] = (counters["levels"][0]["points_in"]
+                                if counters["levels"] else 0)
     counters["complete"] = complete
-    # reference invariant: every point read is written (convert.py:652-653)
-    if complete:
-        assert counters["points_assigned"] == counters["points_total"], counters
-
+    if complete and counters["levels"]:
+        # reference invariant: every point read is written (convert.py:652)
+        assigned = assignments.count()
+        counters["points_assigned"] = assigned
+        assert assigned == counters["points_total"], counters
     return TilingResult(assignments=assignments, root_aabb=root_aabb,
                         root_spacing=root_spacing, counters=counters,
                         checkpoint_dir=ckpt)

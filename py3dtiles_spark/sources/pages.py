@@ -70,7 +70,9 @@ def geocode(pages: DataFrame, skew: bool = False) -> DataFrame:
     h = lambda *salts: F.pmod(F.xxhash64(F.col("url"), *[F.lit(s) for s in salts]), u32) / u32
     lon = (F.lit(-180.0) + h() * 360.0)
     lat = (F.lit(-85.0) + h("lat") * 170.0)
-    elev = h("z") * 1000.0
+    # flat-earth elevations (0-50): web pages geocode to the surface, which
+    # keeps the tiler in quadtree mode (utils.py:47-51) like real map data
+    elev = h("z") * 50.0
     if skew:
         city = F.pmod(F.xxhash64(F.col("url"), F.lit("city")), F.lit(3))
         city_lon = F.element_at(

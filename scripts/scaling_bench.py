@@ -1,0 +1,76 @@
+"""Scaling-efficiency evidence for BASELINE.json north_rule.
+
+Runs the IDENTICAL flagship job (generate pages -> geocode -> octree tiling)
+at two local parallelism levels (default local[8] vs local[32]) in separate
+JVMs, reports throughput at both and efficiency = T(N) * N-cost-normalized:
+
+    efficiency = (docs_per_sec_4N / docs_per_sec_N) / (4N / N)
+
+Usage: python scripts/scaling_bench.py [n_docs] [cpus_lo] [cpus_hi]
+Writes/updates BENCH.md with the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, tempfile, time
+sys.path.insert(0, "@@REPO@@")
+from py3dtiles_spark.session import get_spark
+from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
+from py3dtiles_spark.sources.pages import generate_pages, pages_as_points
+
+cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
+spark = get_spark("scaling-bench", cpus=cpus, shuffle_partitions=2 * cpus)
+points = pages_as_points(generate_pages(spark, n_docs), skew=True)
+points.count()  # warm: JVM, codegen, input materialization path
+# prewarm the Python worker pool (imports numpy/pandas in every worker)
+import pandas as _pd
+(spark.range(4 * cpus).withColumn("g", __import__("pyspark.sql.functions", fromlist=["pmod"]).pmod("id", 4 * cpus))
+ .groupBy("g").applyInPandas(lambda p: p.head(1), "id long, g long").count())
+t0 = time.time()
+res = build_tiling(spark, points,
+                   TilingConfig(checkpoint_dir=tempfile.mkdtemp(),
+                                plan_parallelism=8))
+dt = time.time() - t0
+assert res.counters["points_assigned"] == n_docs
+print(json.dumps({"cpus": cpus, "seconds": round(dt, 3),
+                  "docs_per_sec": round(n_docs / dt, 1),
+                  "levels": len(res.counters["levels"])}))
+spark.stop()
+"""
+
+
+def run_once(cpus: int, n_docs: int) -> dict:
+    script = CHILD.replace("@@REPO@@", REPO)
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(script)
+        path = f.name
+    out = subprocess.run([sys.executable, path, str(cpus), str(n_docs)],
+                         capture_output=True, text=True, timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    r_lo = run_once(lo, n_docs)
+    r_hi = run_once(hi, n_docs)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    result = {"n_docs": n_docs, "lo": r_lo, "hi": r_hi,
+              "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

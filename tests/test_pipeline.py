@@ -24,7 +24,7 @@ def test_geocode_ranges_and_determinism(spark):
                        "min(z)", "max(z)").collect()[0]
     assert -180 <= row[0] and row[1] <= 180
     assert -85 <= row[2] and row[3] <= 85
-    assert 0 <= row[4] and row[5] <= 1000
+    assert 0 <= row[4] and row[5] <= 50
 
 
 def test_pipeline_end_to_end(spark, tmp_path):

@@ -321,6 +321,96 @@ def q_customer_order_join(spark, sf_dir):
             .orderBy("c_mktsegment"))
 
 
+def q_affine_transform(spark, sf_dir):
+    """P1 affine (v + offset) * scale with float rounding (reference
+    las_reader.py:112-121), plus the P5-style value rescale."""
+    g = _geo(spark, sf_dir)
+    return g.select(
+        "doc_id",
+        F.round((F.col("x") + 180.0) * 0.1, 6).alias("tx"),
+        F.round((F.col("y") + 85.0) * 0.1, 6).alias("ty"),
+        F.round((F.col("z") + 0.0) * 0.01, 6).alias("tz"),
+    ).orderBy("doc_id").limit(500)
+
+
+def q_ecef_convert(spark, sf_dir):
+    """P2 geographic -> ECEF conversion (reference convert_to_ecef,
+    utils.py:9-12) on a spherical earth — pure trig expressions."""
+    g = _geo(spark, sf_dir).filter("doc_id < 500")
+    R = 6378137.0
+    lat = F.radians("y")
+    lon = F.radians("x")
+    return g.select(
+        "doc_id",
+        F.round((R + F.col("z")) * F.cos(lat) * F.cos(lon), 4).alias("ecef_x"),
+        F.round((R + F.col("z")) * F.cos(lat) * F.sin(lon), 4).alias("ecef_y"),
+        F.round((R + F.col("z")) * F.sin(lat), 4).alias("ecef_z"),
+    ).orderBy("doc_id")
+
+
+_ROT = [[0.8, -0.6, 0.0], [0.6, 0.8, 0.0], [0.0, 0.0, 1.0]]
+
+
+def q_matrix_transform(spark, sf_dir):
+    """P3 rotation-matrix application as linear-combination expressions."""
+    g = _geo(spark, sf_dir).filter("doc_id < 500")
+    m = _ROT
+    return g.select(
+        "doc_id",
+        F.round(m[0][0] * F.col("x") + m[0][1] * F.col("y") + m[0][2] * F.col("z"), 6).alias("rx"),
+        F.round(m[1][0] * F.col("x") + m[1][1] * F.col("y") + m[1][2] * F.col("z"), 6).alias("ry"),
+        F.round(m[2][0] * F.col("x") + m[2][1] * F.col("y") + m[2][2] * F.col("z"), 6).alias("rz"),
+    ).orderBy("doc_id")
+
+
+def q_fraction_sample(spark, sf_dir):
+    """P6/O3 deterministic fraction sampling by multiplicative hash —
+    reproducible overview selection (reference merger.py:201-213 made
+    deterministic)."""
+    d = _docs(spark, sf_dir)
+    keep = F.pmod(F.col("doc_id") * 2654435761, F.lit(100)) < 20
+    return (d.filter(keep)
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def q_quadrant_route(spark, sf_dir):
+    """J3 tileset->quadrant routing by center containment
+    (merger.py:104-114) as a pure expression."""
+    from py3dtiles_spark.operators.spatial_join import route_to_quadrant
+    g = _geo(spark, sf_dir).select("doc_id", "x", "y")
+    aabb = [[-180.0, -85.0, 0.0], [180.0, 85.0, 50.0]]
+    return (route_to_quadrant(g, aabb)
+            .groupBy(F.col("quadrant").cast("long").alias("quadrant"))
+            .agg(F.count("*").alias("n")).orderBy("quadrant"))
+
+
+def q_union_dedup(spark, sf_dir):
+    """§2.7 set ops: union of two overlapping slices + distinct count."""
+    d = _docs(spark, sf_dir)
+    a = d.filter("doc_id < 300").select("doc_id", "lang")
+    b = d.filter("doc_id >= 150 AND doc_id < 450").select("doc_id", "lang")
+    u = a.union(b)
+    return u.agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("doc_id").alias("n_distinct"))
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via window lag +
+    running sum — the classic stateful-analytics op, fully native."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("ns", new_sess)
+            .withColumn("session_no", F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_no").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
 # ------------------------------------------------- rows-only (no SQL twin) --
 
 def q_tiling_octree(spark, sf_dir):
@@ -376,6 +466,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "lang_source_cube": q_lang_source_cube,
         "customer_order_join": q_customer_order_join,
+        "affine_transform": q_affine_transform,
+        "ecef_convert": q_ecef_convert,
+        "matrix_transform": q_matrix_transform,
+        "fraction_sample": q_fraction_sample,
+        "quadrant_route": q_quadrant_route,
+        "union_dedup": q_union_dedup,
+        "event_sessions": q_event_sessions,
         # rows-only (non-SQL-expressible)
         "tiling_octree": q_tiling_octree,
         "simhash_neardup": q_simhash_neardup,
@@ -542,4 +639,54 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "affine_transform": f"""{geo}
+            SELECT doc_id, round((x + 180.0) * 0.1, 6) AS tx,
+                   round((y + 85.0) * 0.1, 6) AS ty,
+                   round((z + 0.0) * 0.01, 6) AS tz
+            FROM geo ORDER BY doc_id LIMIT 500""",
+        "ecef_convert": f"""{geo}
+            SELECT doc_id,
+                   round((6378137.0 + z) * cos(radians(y)) * cos(radians(x)), 4) AS ecef_x,
+                   round((6378137.0 + z) * cos(radians(y)) * sin(radians(x)), 4) AS ecef_y,
+                   round((6378137.0 + z) * sin(radians(y)), 4) AS ecef_z
+            FROM geo WHERE doc_id < 500 ORDER BY doc_id""",
+        "matrix_transform": f"""{geo}
+            SELECT doc_id,
+                   round(0.8 * x + -0.6 * y + 0.0 * z, 6) AS rx,
+                   round(0.6 * x + 0.8 * y + 0.0 * z, 6) AS ry,
+                   round(0.0 * x + 0.0 * y + 1.0 * z, 6) AS rz
+            FROM geo WHERE doc_id < 500 ORDER BY doc_id""",
+        "fraction_sample": """
+            SELECT count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE (doc_id * 2654435761) % 100 < 20""",
+        "quadrant_route": f"""{geo}
+            SELECT (CASE WHEN x >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN y >= 0 THEN 2 ELSE 0 END)::BIGINT AS quadrant,
+                   count(*) AS n
+            FROM geo GROUP BY 1 ORDER BY quadrant""",
+        "union_dedup": """
+            WITH u AS (
+                SELECT doc_id, lang FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT doc_id, lang FROM documents
+                WHERE doc_id >= 150 AND doc_id < 450)
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_distinct FROM u""",
+        "event_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       epoch(ts)::BIGINT
+                       - lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id
+                                                      ORDER BY ts) AS gap
+                FROM events),
+            s AS (
+                SELECT user_id,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1
+                                ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM g)
+            SELECT user_id, max(session_no)::BIGINT AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id""",
     }

@@ -169,7 +169,15 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
     acc_keys = np.empty(0, dtype=np.int64)
     acc_idx = np.empty(0, dtype=np.int64)
     buckets: dict = {}
-    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+    # plain Python floats for the sequential loop: float64 arithmetic on
+    # exactly-represented float32 inputs (deviation from the float32 test
+    # only within one ulp of the spacing boundary; the engine and the
+    # replay oracle share this function, so assignments always agree)
+    px = pts[:, 0].astype(np.float64).tolist()
+    py = pts[:, 1].astype(np.float64).tolist()
+    pz = pts[:, 2].astype(np.float64).tolist()
+    bins_l = bins.tolist()
+    sqf = float(sq)
     pending_keys: list = []
     pending_idx: list = []
     while pos < n:
@@ -178,8 +186,8 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
         if acc_idx.size:
             head = head[_not_near_accepted(pts, keys, head,
                                            acc_keys, acc_idx, sq)]
-        for i in head:
-            bx, by, bz = bins[i]
+        for i in head.tolist():
+            bx, by, bz = bins_l[i]
             x, y, z = px[i], py[i], pz[i]
             rejected = False
             for nx in (bx - 1, bx, bx + 1):
@@ -190,7 +198,7 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
                             continue
                         for (ax, ay, az) in cell:
                             if (x - ax) * (x - ax) + (y - ay) * (y - ay) \
-                                    + (z - az) * (z - az) < sq:
+                                    + (z - az) * (z - az) < sqf:
                                 rejected = True
                                 break
                         if rejected:

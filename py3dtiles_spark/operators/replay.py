@@ -59,22 +59,52 @@ def assign_subtree(point_ids: np.ndarray, xyz: np.ndarray, tile_id: str,
 
 def _assign(xyz, idx, tile_id, root_aabb, root_spacing, scale,
             split_threshold, out):
-    aabb, spacing = node_geometry(tile_id, root_aabb, root_spacing)
-    if len(idx) < split_threshold or spacing <= MIN_SPACING * scale:
-        out[idx] = tile_id
+    while True:
+        aabb, spacing = node_geometry(tile_id, root_aabb, root_spacing)
+        if len(idx) < split_threshold or spacing <= MIN_SPACING * scale:
+            out[idx] = tile_id
+            return
+        pts = xyz[idx]
+
+        # tight-cluster express descent (exact): when the whole point set's
+        # bounding box (a) fits in ONE grid cell, (b) has diameter safely
+        # under the spacing, and (c) fits in ONE child octant, the accept
+        # loop provably keeps only the FIRST point and forwards the rest to
+        # that child — the megacity skew case, O(1) work per level instead
+        # of a full accept pass over millions of points per level.
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        diam_sq = float(np.sum((hi.astype(np.float64)
+                                - lo.astype(np.float64)) ** 2))
+        corners = np.stack([lo, hi]).astype(np.float32)
+        if diam_sq * 1.0001 < spacing * spacing:
+            ck = cell_keys_for_node(corners, aabb)
+            cd = child_index_for_node(corners, aabb)
+            if ck[0] == ck[1] and cd[0] == cd[1]:
+                out[idx[0]] = tile_id
+                idx = idx[1:]
+                tile_id = tile_id + str(cd[0])
+                continue
+
+        keys = cell_keys_for_node(pts, aabb)
+        accept = accept_mask_for_cells(pts, keys, spacing * spacing)
+        out[idx[accept]] = tile_id
+        rej = idx[~accept]
+        if len(rej) == 0:
+            return
+        children = child_index_for_node(xyz[rej], aabb)
+        uniq = np.unique(children)
+        if len(uniq) == 1:
+            # single-child forward: stay in this frame (deep skew chains
+            # must not hit Python's recursion limit)
+            idx = rej
+            tile_id = tile_id + str(uniq[0])
+            continue
+        for child in uniq:
+            sub = rej[children == child]
+            _assign(xyz, sub, tile_id + str(child), root_aabb, root_spacing,
+                    scale, split_threshold, out)
         return
-    pts = xyz[idx]
-    keys = cell_keys_for_node(pts, aabb)
-    accept = accept_mask_for_cells(pts, keys, spacing * spacing)
-    out[idx[accept]] = tile_id
-    rej = idx[~accept]
-    if len(rej) == 0:
-        return
-    children = child_index_for_node(xyz[rej], aabb)
-    for child in np.unique(children):
-        sub = rej[children == child]
-        _assign(xyz, sub, tile_id + str(child), root_aabb, root_spacing,
-                scale, split_threshold, out)
 
 
 def replay_tiling(point_ids: np.ndarray, xyz: np.ndarray,

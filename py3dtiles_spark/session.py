@@ -17,6 +17,11 @@ def get_spark(app_name: str = "py3dtiles-spark", cpus: int | None = None,
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    # NOTE: malloc tuning for numpy kernels lives in py3dtiles_spark/
+    # __init__.py (runtime mallopt, Python-process-only). Do NOT set the
+    # MALLOC_* env vars here: the JVM would inherit them, and with
+    # MMAP_MAX_=0 glibc cannot create per-thread arenas — 32 executor
+    # threads then serialize on one malloc lock (measured 3x slowdown).
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

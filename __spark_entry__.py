@@ -334,17 +334,24 @@ def q_affine_transform(spark, sf_dir):
 
 
 def q_ecef_convert(spark, sf_dir):
-    """P2 geographic -> ECEF conversion (reference convert_to_ecef,
-    utils.py:9-12) on a spherical earth — pure trig expressions."""
+    """P2 true CRS reprojection: WGS84 geodetic (EPSG:4979) -> geocentric
+    ECEF (EPSG:4978), the ellipsoidal closed form the reference gets from
+    pyproj (convert_to_ecef, utils.py:9-12) — pure trig expressions.
+
+    Output rounded to whole meters and cast BIGINT: sub-meter agreement is
+    covered by the pytest goldens; the cross-engine value hash must not
+    depend on which libm produced the last ulp of cos()."""
     g = _geo(spark, sf_dir).filter("doc_id < 500")
-    R = 6378137.0
+    a = 6378137.0                 # WGS84 semi-major axis
+    e2 = 0.0066943799901413165    # first eccentricity squared = f*(2-f)
     lat = F.radians("y")
     lon = F.radians("x")
+    n = a / F.sqrt(1.0 - e2 * F.sin(lat) * F.sin(lat))
     return g.select(
         "doc_id",
-        F.round((R + F.col("z")) * F.cos(lat) * F.cos(lon), 4).alias("ecef_x"),
-        F.round((R + F.col("z")) * F.cos(lat) * F.sin(lon), 4).alias("ecef_y"),
-        F.round((R + F.col("z")) * F.sin(lat), 4).alias("ecef_z"),
+        F.round((n + F.col("z")) * F.cos(lat) * F.cos(lon), 0).cast("bigint").alias("ecef_x"),
+        F.round((n + F.col("z")) * F.cos(lat) * F.sin(lon), 0).cast("bigint").alias("ecef_y"),
+        F.round((n * (1.0 - e2) + F.col("z")) * F.sin(lat), 0).cast("bigint").alias("ecef_z"),
     ).orderBy("doc_id")
 
 
@@ -400,7 +407,8 @@ def q_event_sessions(spark, sf_dir):
     running sum — the classic stateful-analytics op, fully native."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    epoch = F.unix_timestamp(F.col("ts"))  # NTZ-safe (session tz is UTC)
+    gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = (ev.withColumn("ns", new_sess)
             .withColumn("session_no", F.sum("ns").over(
@@ -426,7 +434,8 @@ def q_tiling_octree(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash banding (blake2b bit votes — no SQL twin)."""
+    """SimHash banding (native xxhash64 bit votes — DuckDB lacks xxhash64,
+    so no SQL twin; the truth table is pytest test_simhash_near_dups)."""
     from py3dtiles_spark.operators.dedup import simhash_near_dup_pairs
     d = _docs(spark, sf_dir).filter("doc_id < 1500")
     return simhash_near_dup_pairs(d, max_hamming=3).orderBy("a", "b")
@@ -646,9 +655,12 @@ def oracle_sql() -> dict[str, str]:
             FROM geo ORDER BY doc_id LIMIT 500""",
         "ecef_convert": f"""{geo}
             SELECT doc_id,
-                   round((6378137.0 + z) * cos(radians(y)) * cos(radians(x)), 4) AS ecef_x,
-                   round((6378137.0 + z) * cos(radians(y)) * sin(radians(x)), 4) AS ecef_y,
-                   round((6378137.0 + z) * sin(radians(y)), 4) AS ecef_z
+                   CAST(round((6378137.0 / sqrt(1.0 - 0.0066943799901413165 * sin(radians(y)) * sin(radians(y))) + z)
+                        * cos(radians(y)) * cos(radians(x)), 0) AS BIGINT) AS ecef_x,
+                   CAST(round((6378137.0 / sqrt(1.0 - 0.0066943799901413165 * sin(radians(y)) * sin(radians(y))) + z)
+                        * cos(radians(y)) * sin(radians(x)), 0) AS BIGINT) AS ecef_y,
+                   CAST(round((6378137.0 / sqrt(1.0 - 0.0066943799901413165 * sin(radians(y)) * sin(radians(y))) * (1.0 - 0.0066943799901413165) + z)
+                        * sin(radians(y)), 0) AS BIGINT) AS ecef_z
             FROM geo WHERE doc_id < 500 ORDER BY doc_id""",
         "matrix_transform": f"""{geo}
             SELECT doc_id,

@@ -40,6 +40,8 @@ def main(argv=None) -> int:
     m.add_argument("--input", required=True,
                    help="parquet of tileset rows (tileset_id,min_x..max_z,point_count)")
     m.add_argument("--output", required=True)
+    m.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
     i = sub.add_parser("info", help="decode a .pnts file")
     i.add_argument("path")

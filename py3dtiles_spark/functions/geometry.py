@@ -130,8 +130,11 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
     canonical order (the engine sorts by point_id) — reference acceptance is
     insertion-order dependent (SURVEY.md §7.4 item 1).
 
-    Returns a boolean accept mask. Distances are computed in float32 with
-    the reference's (a-b)**2 term ordering (distance.py:10-12).
+    Returns a boolean accept mask. Distances use the reference's (a-b)**2
+    term ordering (distance.py:10-12) evaluated in float64 on exactly-
+    representable float32 inputs — both the vectorized cull and the scalar
+    loop share this one test (deviation from the reference's float32
+    accumulate only within one ulp of the spacing boundary).
 
     Implementation: spatial-hash bins of width = spacing. A previously-
     accepted point can only reject a candidate if it lies within spacing,
@@ -236,8 +239,9 @@ def _pack_bins(bins: np.ndarray) -> np.ndarray:
 def _not_near_accepted(pts, keys, cand_idx, acc_keys, acc_idx, sq):
     """Vectorized: True for candidates NOT within spacing of any accepted
     point. Neighbor-bin pairs found via searchsorted over sorted accepted
-    bin keys; distances in float32 (elementwise IEEE — identical to the
-    scalar test)."""
+    bin keys; distances in float64 on exactly-representable float32 inputs
+    — the SAME test as the scalar bin-hash loop, so a boundary pair's
+    verdict never depends on which path evaluated it."""
     order = np.argsort(acc_keys, kind="stable")
     ak = acc_keys[order]
     ai = acc_idx[order]
@@ -260,11 +264,11 @@ def _not_near_accepted(pts, keys, cand_idx, acc_keys, acc_idx, sq):
                 lo_h, cnt_h = lo[hitp], cnt[hitp]
                 pair_c = np.repeat(c_sel, cnt_h)
                 pair_a = ai[_ragged_ranges(lo_h, cnt_h)]
-                cp = pts[cand_idx[pair_c]]
-                ap = pts[pair_a]
+                cp = pts[cand_idx[pair_c]].astype(np.float64)
+                ap = pts[pair_a].astype(np.float64)
                 d = cp - ap
                 near = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
-                        + d[:, 2] * d[:, 2]) < sq
+                        + d[:, 2] * d[:, 2]) < float(sq)
                 if near.any():
                     alive[np.unique(pair_c[near])] = False
     return alive

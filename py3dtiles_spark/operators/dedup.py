@@ -1,9 +1,9 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All exact-hash paths are pure built-in expressions (JVM-side, whole-stage
-codegen); MinHash uses native xxhash64 aggregations over exploded shingles
-(map-side partial agg keeps the shuffle at |docs| * num_perm rows max);
-SimHash and embedding near-dup use Arrow-batched numpy kernels.
+codegen); MinHash AND SimHash use native xxhash64 aggregations over exploded
+tokens/shingles (map-side partial agg keeps the shuffle at |docs| rows);
+embedding near-dup uses an Arrow-batched numpy kernel (matmul per bucket).
 
 Scale notes:
 - exact_dedup: one hash shuffle on the digest; identical to a groupBy.
@@ -15,8 +15,6 @@ Scale notes:
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -120,35 +118,26 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def simhash_values(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: sum of +-1 votes of each token's xxhash64
-    bits. Arrow-batched numpy kernel (vectorized bit unpack)."""
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_ids, out_sig = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = text.split(" ") if text else []
-                if not toks:
-                    out_ids.append(did)
-                    out_sig.append(0)
-                    continue
-                # deterministic 64-bit token hashes via blake2b
-                import hashlib
-                hs = np.array([
-                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                    for t in toks], dtype=np.uint64)
-                bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
-                          & np.uint64(1)).astype(np.int64)
-                votes = (2 * bitmat - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for i in range(bits):
-                    if votes[i] > 0:
-                        sig |= np.uint64(1) << np.uint64(i)
-                out_ids.append(did)
-                out_sig.append(int(np.int64(sig)))  # reinterpret as signed
-            yield pd.DataFrame({id_col: out_ids, "simhash": out_sig})
-
-    return docs.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"{id_col} long, simhash long")
+    """64-bit SimHash per doc: per-bit signed votes of each token's
+    xxhash64 bits, fully NATIVE (explode -> xxhash64 -> 64 conditional
+    sums -> bit reassembly). Zero Python in the pipeline; map-side partial
+    aggregation collapses the exploded tokens back to one row per doc
+    before the shuffle, so the network cost is |docs| rows."""
+    toks = (docs.select(id_col, F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    # vote_i = sum over tokens of (bit_i(h) ? +1 : -1)
+    aggs = [F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
+            .alias(f"v{i}") for i in range(bits)]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    # sig bit_i = vote_i > 0; shiftleft on long reinterprets bit 63 as sign
+    sig = votes.select(
+        id_col,
+        sum((F.col(f"v{i}") > 0).cast("long") * F.shiftleft(F.lit(1).cast("long"), i)
+            for i in range(bits)).alias("simhash"))
+    # docs with no tokens (empty text) vanish in the groupBy: restore as 0
+    return (docs.select(id_col).join(sig, id_col, "left")
+            .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -120,16 +120,24 @@ def point_in_polygon_join_large(points: DataFrame, polygons: DataFrame,
                                 keep_cols=("point_id",)) -> DataFrame:
     """PIP for polygon sets too big to broadcast whole: equi-join points to
     polygon bbox cell covers on a coarse grid, then exact ray-cast per
-    candidate pair inside applyInPandas grouped by geom_id."""
-    cover = F.udf(lambda a, b, c, d: grid_cell_cover(a, b, c, d, cell_deg),
-                  "array<long>")
+    candidate pair inside applyInPandas grouped by (geom_id, cell_id).
+
+    The cell cover is a pure expression (explode of two integer sequences —
+    no Python on the polygon side), and the exact kernel groups by
+    (geom_id, cell_id) rather than geom_id alone: the ray cast is per-point,
+    so a country-sized polygon's candidates run as one task per covered
+    cell instead of serializing on a single worker — the hot-polygon skew
+    answer at 10^12 points."""
+    cx = F.explode(F.sequence(
+        F.floor(F.array_min("xs") / cell_deg).cast("long"),
+        F.floor(F.array_max("xs") / cell_deg).cast("long"))).alias("cx")
     poly_cells = (polygons
-                  .withColumn("bx0", F.array_min("xs"))
-                  .withColumn("bx1", F.array_max("xs"))
-                  .withColumn("by0", F.array_min("ys"))
-                  .withColumn("by1", F.array_max("ys"))
-                  .withColumn("cell_id", F.explode(
-                      cover("bx0", "by0", "bx1", "by1"))))
+                  .select("geom_id", "xs", "ys", cx)
+                  .select("geom_id", "xs", "ys", "cx", F.explode(F.sequence(
+                      F.floor(F.array_min("ys") / cell_deg).cast("long"),
+                      F.floor(F.array_max("ys") / cell_deg).cast("long")))
+                      .alias("cy"))
+                  .withColumn("cell_id", F.col("cx") * 100000 + F.col("cy")))
     pts = points.withColumn("cell_id", point_cell_id(cell_deg))
     cand = pts.join(poly_cells.select("geom_id", "cell_id", "xs", "ys"),
                     "cell_id")
@@ -145,7 +153,7 @@ def point_in_polygon_join_large(points: DataFrame, polygons: DataFrame,
         out = pdf.loc[hit, keep + ["geom_id"]]
         return out
 
-    return cand.groupBy("geom_id").applyInPandas(exact, schema=schema)
+    return cand.groupBy("geom_id", "cell_id").applyInPandas(exact, schema=schema)
 
 
 def route_to_quadrant(items: DataFrame, aabb) -> DataFrame:

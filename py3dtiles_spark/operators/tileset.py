@@ -135,6 +135,10 @@ def build_tileset_json(tiles_rows, root_aabb: np.ndarray, root_spacing: float,
         return t
 
     root = node_json("")
+    # reference refine semantics (convert.py:72-74): REPLACE on the root,
+    # ADD on the root's direct children (descendants inherit ADD)
+    for child in root.get("children", []):
+        child["refine"] = "ADD"
     diag = float(np.linalg.norm(
         np.asarray(root_aabb[1], dtype=float) - np.asarray(root_aabb[0], dtype=float)))
     docs["tileset.json"] = {

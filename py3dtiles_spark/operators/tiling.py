@@ -257,6 +257,12 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             with open(os.path.join(ckpt, f"level={lv}", "_MANIFEST.json")) as f:
                 counters["levels"].append(json.load(f))
     else:
+        # fresh run into a reused checkpoint_dir: stale level=* dirs from a
+        # previous (possibly deeper or differently-configured) run would
+        # leak into the final level=*/out glob — remove them first
+        for d in os.listdir(ckpt):
+            if d.startswith("level="):
+                shutil.rmtree(os.path.join(ckpt, d), ignore_errors=True)
         root_aabb, root_spacing = compute_root_aabb(narrow)
         with open(meta_path, "w") as f:
             json.dump({"root_aabb": root_aabb.tolist(),
@@ -333,9 +339,14 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                    .filter("NOT accepted").drop("accepted"))
 
     spark.conf.set(_coalesce_key, _coalesce_prev)
-    assignments = (spark.read.schema(KERNEL_SCHEMA)
-                   .parquet(os.path.join(ckpt, "level=*", "out"))
-                   .filter("accepted").select("point_id", "tile_id"))
+    # explicit per-level paths (not a level=* glob): stale dirs from other
+    # runs can never leak in, and Spark skips the streaming-metadata probe
+    # that logs a spurious FileNotFoundException WARN on glob paths
+    level_outs = [os.path.join(ckpt, f"level={s['level']}", "out")
+                  for s in counters["levels"]]
+    assignments = (spark.read.schema(KERNEL_SCHEMA).parquet(*level_outs)
+                   .filter("accepted").select("point_id", "tile_id")
+                   ) if level_outs else spark.createDataFrame([], ASSIGN_SCHEMA)
 
     counters["points_total"] = (counters["levels"][0]["points_in"]
                                 if counters["levels"] else 0)

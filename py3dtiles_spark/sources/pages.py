@@ -2,6 +2,9 @@
 
 The authoritative input shape per BASELINE.json input_hint:
   (url: string, warc_ts: timestamp, html: binary, text: string, lang: string)
+plus a `page_id: bigint` surrogate key (the spark.range id) — unique at any
+scale, which the narrow tiler view needs as its join-back key (a 64-bit url
+hash collides ~30k times at 10^12 rows).
 
 Everything is generated with native Spark expressions from spark.range —
 fully distributed, no driver-side data, no UDFs — so the same generator
@@ -41,6 +44,7 @@ def generate_pages(spark: SparkSession, n: int, num_partitions: int | None = Non
                 vocab, (F.pmod(F.xxhash64(url, j), F.lit(len(_VOCAB))) + 1).cast("int")),
         ), " ")
     return df.select(
+        i.alias("page_id"),
         url.alias("url"),
         (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
          + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
@@ -86,10 +90,17 @@ def geocode(pages: DataFrame, skew: bool = False) -> DataFrame:
 
 
 def pages_as_points(pages: DataFrame, skew: bool = False) -> DataFrame:
-    """Narrow (point_id, x, y, z) view for the tiler; point_id is a
-    deterministic function of url so payload joins back 1:1."""
+    """Narrow (point_id, x, y, z) view for the tiler.
+
+    point_id is the table's own unique surrogate key (page_id) when present
+    — REQUIRED at 10^12-doc scale, where a 64-bit url hash would produce
+    ~30k expected birthday collisions and break the written==read invariant.
+    The xxhash64(url) fallback is a convenience for ad-hoc tables without a
+    key column and is only collision-safe at test scale (<~1e8 rows)."""
     geo = geocode(pages, skew=skew)
+    pid = (F.col("page_id").cast("long") if "page_id" in pages.columns
+           else F.xxhash64("url"))
     return geo.select(
-        F.xxhash64("url").alias("point_id"),
+        pid.alias("point_id"),
         F.col("x").cast("float"), F.col("y").cast("float"),
         F.col("z").cast("float"))

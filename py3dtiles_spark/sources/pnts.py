@@ -101,15 +101,25 @@ def tiles_to_pnts_df(points_with_tiles: DataFrame,
 
 
 def write_pnts_files(pnts_df: DataFrame, out_dir: str) -> int:
-    """Materialize r<name>.pnts files with reference sharding. Executor-side
-    foreachPartition write (local/NFS paths); returns tiles written."""
+    """Materialize r<name>.pnts files with reference sharding.
+
+    Truly executor-side: each partition writes its own tiles via
+    foreachPartition, so tile bytes never stream through the driver
+    (out_dir must be a shared filesystem on a real cluster — local/NFS).
+    Returns tiles written (counted with an accumulator, one job total)."""
     os.makedirs(out_dir, exist_ok=True)
-    rows = pnts_df.select("tile_id", "pnts").toLocalIterator()
-    n = 0
-    for row in rows:
-        path = os.path.join(out_dir, name_to_relpath(row.tile_id))
-        os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(row.pnts)
-        n += 1
-    return n
+    acc = pnts_df.sparkSession.sparkContext.accumulator(0)
+
+    def write_partition(rows):
+        import os as _os
+        n = 0
+        for row in rows:
+            path = _os.path.join(out_dir, name_to_relpath(row.tile_id))
+            _os.makedirs(_os.path.dirname(path) or out_dir, exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(row.pnts)
+            n += 1
+        acc.add(n)
+
+    pnts_df.select("tile_id", "pnts").foreachPartition(write_partition)
+    return acc.value

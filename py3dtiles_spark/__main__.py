@@ -23,9 +23,14 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="py3dtiles_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("convert", help="pages/points -> 3D Tiles")
+    c = sub.add_parser("convert", help="pages/points/las/xyz -> 3D Tiles")
     c.add_argument("--input", help="parquet of pages (url,warc_ts,html,text,lang) "
-                                   "or points (point_id,x,y,z)")
+                                   "or points (point_id,x,y,z), or .las/.xyz "
+                                   "point-cloud files (comma-separated)")
+    c.add_argument("--srs-in", type=int, default=None)
+    c.add_argument("--srs-out", type=int, default=None,
+                   help="4978 (ECEF) — requires geodetic input (4326/4979)")
+    c.add_argument("--fraction", type=int, default=100)
     c.add_argument("--n-docs", type=int, default=0,
                    help="generate a synthetic pages table instead of --input")
     c.add_argument("--output", required=True)
@@ -75,6 +80,22 @@ def main(argv=None) -> int:
     from py3dtiles_spark.operators.tileset import (
         build_tiles_df, build_tileset_json, rollup_small_children)
     from py3dtiles_spark.sources.pages import generate_pages, pages_as_points
+
+    ext = os.path.splitext((args.input or "").split(",")[0])[1].lower()
+    if ext in (".las", ".xyz"):
+        from py3dtiles_spark.plans.convert import convert_files
+        cfg = TilingConfig(split_threshold=args.split_threshold,
+                           checkpoint_dir=os.path.join(args.output, "checkpoint"))
+        res = convert_files(spark, args.input.split(","), out_dir=args.output,
+                            srs_in=args.srs_in, srs_out=args.srs_out,
+                            fraction=args.fraction, cfg=cfg,
+                            write_pnts=args.write_pnts)
+        print(json.dumps({"points": res.counters.get("points_assigned"),
+                          "levels": len(res.counters["levels"]),
+                          "tiles": res.tiles.count(),
+                          "root_scale": res.root_scale,
+                          "tileset_docs": list(res.tileset_docs)}))
+        return 0
 
     if args.n_docs:
         points = pages_as_points(generate_pages(spark, args.n_docs),

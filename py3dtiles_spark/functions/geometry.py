@@ -9,12 +9,26 @@ scratch with the same semantics as the reference (Oslandia/py3dtiles):
 - AABB split / spacing law  (reference: py3dtiles/points/utils.py:43-88)
 - subdivision-type rule     (reference: py3dtiles/points/utils.py:47-51)
 
-All float math is done in float32 with the reference's operation order so
-tile assignments match bit-for-bit (SURVEY.md §7.4 item 6). Everything here
-is driver/UDF-side pure functions — no Spark imports.
+Precision contract (bit-for-bit vs the reference, validated by the golden
+test that runs the reference's own Node/Grid code on the same input):
+
+- node AABBs fold from the root in FLOAT64 (NodeCatalog.get_node,
+  node_catalog.py:26-31 — the root aabb is float64 there) and are cast to
+  float32 only at node construction (node.py:28); the node center is the
+  float64 midpoint cast to float32 (node.py:31), NOT the float32 midpoint.
+- the grid cell key multiplies int32 cell_count by float32 inv_aabb_size,
+  which numpy/numba promote to FLOAT64 (distance.py:24-27); the per-point
+  (xyz - aabb_min) difference stays float32.
+- the spacing acceptance test is pure FLOAT32 arithmetic with the
+  reference's (a-b)**2 left-to-right term order (distance.py:5-15, numba
+  float32 signature).
+
+Everything here is driver/UDF-side pure functions — no Spark imports.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import numpy as np
 
@@ -30,26 +44,29 @@ ROOT_SPACING_DIVISOR = 125.0  # spacing = ||diag|| / 125 (points/utils.py:43-44)
 
 
 def compute_spacing(aabb: np.ndarray) -> float:
-    """Root spacing law: ||aabb diagonal|| / 125."""
-    aabb = np.asarray(aabb, dtype=np.float32)
+    """Root spacing law: ||aabb diagonal|| / 125, in float64 like the
+    reference (points/utils.py:43-44 — the root aabb there is float64)."""
+    aabb = np.asarray(aabb, dtype=np.float64)
     return float(np.linalg.norm(aabb[1] - aabb[0]) / ROOT_SPACING_DIVISOR)
 
 
 def subdivision_type(size) -> str:
     """Quadtree when the z extent is flat relative to x/y (< 0.5 ratio)."""
-    size = np.asarray(size, dtype=np.float32)
+    size = np.asarray(size)
     return QUADTREE if size[2] / min(size[0], size[1]) < 0.5 else OCTREE
 
 
 def split_aabb(aabb: np.ndarray, index: int, force_quadtree: bool = False) -> np.ndarray:
     """Child AABB for child `index` (3-bit octant code x<<2 | y<<1 | z).
 
-    Quadtree mode keeps the full z extent of the parent.
+    Quadtree mode keeps the full z extent of the parent. Dtype-preserving:
+    the name->geometry fold runs it in float64 like the reference catalog
+    (node_catalog.py:26-31); float32 callers get float32.
     """
-    aabb = np.asarray(aabb, dtype=np.float32)
-    half = (aabb[1] - aabb[0]) * np.float32(0.5)
+    aabb = np.asarray(aabb)
+    half = (aabb[1] - aabb[0]) * 0.5
     t = subdivision_type(half)
-    out = np.array([aabb[0].copy(), aabb[0] + half], dtype=np.float32)
+    out = np.array([aabb[0].copy(), aabb[0] + half])
     if index & 4:
         out[0][0] += half[0]
         out[1][0] += half[0]
@@ -64,18 +81,38 @@ def split_aabb(aabb: np.ndarray, index: int, force_quadtree: bool = False) -> np
     return out
 
 
+class NodeFrame(NamedTuple):
+    """Float32 node constants exactly as the reference Node derives them
+    from the float64 name-fold (node.py:28-31)."""
+    aabb: np.ndarray      # (2,3) f32 — f64 fold cast at the end
+    center: np.ndarray    # (3,)  f32 — f64 midpoint, cast (node.py:31)
+    size: np.ndarray      # (3,)  f32 — f64 diff, cast (node.py:29)
+    spacing: float
+
+
+def node_frame(tile_id: str, root_aabb: np.ndarray,
+               root_spacing: float) -> NodeFrame:
+    """Full node geometry from the tile name: float64 fold of split_aabb
+    (reference NodeCatalog.get_node) + the reference's float32 casts."""
+    aabb = np.asarray(root_aabb, dtype=np.float64)
+    for digit in tile_id:
+        aabb = split_aabb(aabb, int(digit))
+    spacing = float(root_spacing) / (2.0 ** len(tile_id))
+    return NodeFrame(
+        aabb=aabb.astype(np.float32),
+        center=((aabb[0] + aabb[1]) * 0.5).astype(np.float32),
+        size=(aabb[1] - aabb[0]).astype(np.float32),
+        spacing=spacing)
+
+
 def node_geometry(tile_id: str, root_aabb: np.ndarray, root_spacing: float):
-    """(aabb, spacing) of any tile, derived purely from its name.
+    """(aabb f32, spacing) of any tile, derived purely from its name.
 
     Folds split_aabb over the octant digits so the tile tree never has to be
     materialized or shuffled with the points (SURVEY.md §2.3 X6).
     """
-    aabb = np.asarray(root_aabb, dtype=np.float32)
-    spacing = float(root_spacing)
-    for digit in tile_id:
-        aabb = split_aabb(aabb, int(digit))
-        spacing *= 0.5
-    return aabb, spacing
+    f = node_frame(tile_id, root_aabb, root_spacing)
+    return f.aabb, f.spacing
 
 
 def xyz_to_child_index(xyz: np.ndarray, center: np.ndarray) -> np.ndarray:
@@ -84,13 +121,20 @@ def xyz_to_child_index(xyz: np.ndarray, center: np.ndarray) -> np.ndarray:
     return np.sum(np.left_shift(test, np.array([2, 1, 0], dtype=np.int8)), axis=1)
 
 
-def child_index_for_node(xyz: np.ndarray, aabb: np.ndarray) -> np.ndarray:
-    """Child code with the quadtree z-trick: in quadtree mode the comparison
-    z-center is the aabb top so the z bit is always 0 (4 children)."""
-    aabb = np.asarray(aabb, dtype=np.float32)
-    center = ((aabb[0] + aabb[1]) * np.float32(0.5)).astype(np.float32)
-    if subdivision_type(aabb[1] - aabb[0]) == QUADTREE:
-        center = np.array([center[0], center[1], aabb[1][2]], dtype=np.float32)
+def child_index_for_node(xyz: np.ndarray, frame) -> np.ndarray:
+    """Child code with the quadtree z-trick (node.py:123-131): in quadtree
+    mode the comparison z is the aabb top so the z bit is always 0.
+    `frame` is a NodeFrame (or a legacy (2,3) aabb array)."""
+    if not isinstance(frame, NodeFrame):
+        aabb64 = np.asarray(frame, dtype=np.float64)
+        frame = NodeFrame(aabb=aabb64.astype(np.float32),
+                          center=((aabb64[0] + aabb64[1]) * 0.5).astype(np.float32),
+                          size=(aabb64[1] - aabb64[0]).astype(np.float32),
+                          spacing=0.0)
+    center = frame.center
+    if subdivision_type(frame.size) == QUADTREE:
+        center = np.array([center[0], center[1], frame.aabb[1][2]],
+                          dtype=np.float32)
     return xyz_to_child_index(xyz, center)
 
 
@@ -99,27 +143,33 @@ def xyz_to_key(xyz: np.ndarray, cell_count: np.ndarray, aabb_min: np.ndarray,
     """Bit-packed grid cell key: clamped per-axis cell index, y<<shift,
     z<<2*shift, summed. Same Morton-family packing as an H3/S2 encode.
 
-    All arithmetic is pinned to float32 (the reference's numba kernel lets
-    numpy promote int32*float32 to float64; we keep strict float32 so the
-    result is bit-identical to Spark's native float expression — the engine
-    computes this key JVM-side with float columns)."""
-    scalef = (cell_count * inv_aabb_size).astype(np.float32)
-    a = (scalef * (xyz.astype(np.float32) - aabb_min)).astype(np.int64)
+    Mirrors the reference numba kernel's promotion EXACTLY
+    (distance.py:24-32): int32 cell_count * float32 inv promotes to
+    float64; (xyz - aabb_min) stays float32; the float64 product truncates
+    to int64. The engine's native Spark expression reproduces this with a
+    DOUBLE scale column times a FLOAT difference."""
+    scalef = cell_count * inv_aabb_size            # int32*f32 -> f64
+    a = (scalef * (xyz - aabb_min)).astype(np.int64)
     a = np.minimum(np.maximum(a, 0), cell_count - 1)
     a[:, 1] <<= shift
     a[:, 2] <<= 2 * shift
     return np.sum(a, axis=1).astype(np.int32)
 
 
-def cell_keys_for_node(xyz: np.ndarray, aabb: np.ndarray,
+def cell_keys_for_node(xyz: np.ndarray, frame,
                        cell_count: int = GRID_INITIAL_CELL_COUNT) -> np.ndarray:
-    """Grid cell keys for points inside a node, float32 semantics."""
-    aabb = np.asarray(aabb, dtype=np.float32)
-    size = (aabb[1] - aabb[0]).astype(np.float32)
-    inv = (np.float32(1.0) / size).astype(np.float32)
+    """Grid cell keys for points inside a node (reference Grid constants:
+    aabb_min f32, inv_aabb_size = 1/f32 size, points_grid.py:45-63)."""
+    if not isinstance(frame, NodeFrame):
+        aabb64 = np.asarray(frame, dtype=np.float64)
+        frame = NodeFrame(aabb=aabb64.astype(np.float32), center=None,
+                          size=(aabb64[1] - aabb64[0]).astype(np.float32),
+                          spacing=0.0)
+    inv = np.float32(1.0) / frame.size
     counts = np.array([cell_count] * 3, dtype=np.int32)
     shift = int(cell_count - 1).bit_length()
-    return xyz_to_key(xyz.astype(np.float32, copy=False), counts, aabb[0], inv, shift)
+    return xyz_to_key(xyz.astype(np.float32, copy=False), counts,
+                      frame.aabb[0], inv, shift)
 
 
 def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
@@ -130,18 +180,18 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
     canonical order (the engine sorts by point_id) — reference acceptance is
     insertion-order dependent (SURVEY.md §7.4 item 1).
 
-    Returns a boolean accept mask. Distances use the reference's (a-b)**2
-    term ordering (distance.py:10-12) evaluated in float64 on exactly-
-    representable float32 inputs — both the vectorized cull and the scalar
-    loop share this one test (deviation from the reference's float32
-    accumulate only within one ulp of the spacing boundary).
+    Returns a boolean accept mask. The distance test is PURE FLOAT32 with
+    the reference's (a-b)**2 left-to-right term order (distance.py:10-12,
+    numba float32 signature) — bit-identical accept decisions, validated by
+    the reference-code golden test.
 
-    Implementation: spatial-hash bins of width = spacing. A previously-
-    accepted point can only reject a candidate if it lies within spacing,
-    i.e. inside the candidate's 3x3x3 bin neighborhood; spacing-packing
-    bounds accepted points per bin to a handful, so the scan is O(n)
-    instead of the naive O(n^2) — the same output, orders of magnitude
-    faster on skew-hot cells (megacity scenario).
+    Implementation: spatial-hash bins of width slightly over spacing (the
+    tiny margin guarantees every pair the float32 test can call "near" is
+    within one bin step despite float32 rounding). A previously-accepted
+    point can only reject a candidate inside the candidate's 3x3x3 bin
+    neighborhood; spacing-packing bounds accepted points per bin to a
+    handful, so the scan is O(n) instead of the naive O(n^2) — the same
+    output, orders of magnitude faster on skew-hot cells (megacities).
     """
     n = xyz.shape[0]
     accept = np.zeros(n, dtype=bool)
@@ -154,7 +204,7 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
         accept[:] = True
         return accept
 
-    bins = np.floor(pts.astype(np.float64) / spacing).astype(np.int64)
+    bins = np.floor(pts.astype(np.float64) / (spacing * 1.000001)).astype(np.int64)
     keys = _pack_bins(bins)
 
     # Round-based exact algorithm. Each round takes a HEAD of the pending
@@ -171,16 +221,10 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
     pos = 0
     acc_keys = np.empty(0, dtype=np.int64)
     acc_idx = np.empty(0, dtype=np.int64)
+    # per-bin buckets hold small float32 arrays so the scalar scan runs the
+    # exact float32 test vectorized per candidate (numpy keeps f32 dtype)
     buckets: dict = {}
-    # plain Python floats for the sequential loop: float64 arithmetic on
-    # exactly-represented float32 inputs (deviation from the float32 test
-    # only within one ulp of the spacing boundary; the engine and the
-    # replay oracle share this function, so assignments always agree)
-    px = pts[:, 0].astype(np.float64).tolist()
-    py = pts[:, 1].astype(np.float64).tolist()
-    pz = pts[:, 2].astype(np.float64).tolist()
     bins_l = bins.tolist()
-    sqf = float(sq)
     pending_keys: list = []
     pending_idx: list = []
     while pos < n:
@@ -191,17 +235,21 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
                                            acc_keys, acc_idx, sq)]
         for i in head.tolist():
             bx, by, bz = bins_l[i]
-            x, y, z = px[i], py[i], pz[i]
+            p = pts[i]
             rejected = False
             for nx in (bx - 1, bx, bx + 1):
                 for ny in (by - 1, by, by + 1):
                     for nz in (bz - 1, bz, bz + 1):
                         cell = buckets.get((nx, ny, nz))
-                        if not cell:
+                        if cell is None or not cell:
                             continue
-                        for (ax, ay, az) in cell:
-                            if (x - ax) * (x - ax) + (y - ay) * (y - ay) \
-                                    + (z - az) * (z - az) < sqf:
+                        # float32 columns: dx*dx + dy*dy + dz*dz < sq with
+                        # left-to-right adds — the reference test verbatim
+                        for a in cell:
+                            dx = p[0] - a[0]
+                            dy = p[1] - a[1]
+                            dz = p[2] - a[2]
+                            if dx * dx + dy * dy + dz * dz < sq:
                                 rejected = True
                                 break
                         if rejected:
@@ -212,7 +260,7 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
                     break
             if not rejected:
                 accept[i] = True
-                buckets.setdefault((bx, by, bz), []).append((x, y, z))
+                buckets.setdefault((bx, by, bz), []).append(p)
                 pending_keys.append(keys[i])
                 pending_idx.append(i)
         pos += h
@@ -239,9 +287,10 @@ def _pack_bins(bins: np.ndarray) -> np.ndarray:
 def _not_near_accepted(pts, keys, cand_idx, acc_keys, acc_idx, sq):
     """Vectorized: True for candidates NOT within spacing of any accepted
     point. Neighbor-bin pairs found via searchsorted over sorted accepted
-    bin keys; distances in float64 on exactly-representable float32 inputs
-    — the SAME test as the scalar bin-hash loop, so a boundary pair's
-    verdict never depends on which path evaluated it."""
+    bin keys; distances in float32 elementwise (dx*dx + dy*dy + dz*dz,
+    left-to-right) — IDENTICAL IEEE ops to the scalar bucket loop and the
+    reference kernel, so a boundary pair's verdict never depends on which
+    path evaluated it."""
     order = np.argsort(acc_keys, kind="stable")
     ak = acc_keys[order]
     ai = acc_idx[order]
@@ -264,11 +313,11 @@ def _not_near_accepted(pts, keys, cand_idx, acc_keys, acc_idx, sq):
                 lo_h, cnt_h = lo[hitp], cnt[hitp]
                 pair_c = np.repeat(c_sel, cnt_h)
                 pair_a = ai[_ragged_ranges(lo_h, cnt_h)]
-                cp = pts[cand_idx[pair_c]].astype(np.float64)
-                ap = pts[pair_a].astype(np.float64)
+                cp = pts[cand_idx[pair_c]]
+                ap = pts[pair_a]
                 d = cp - ap
                 near = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
-                        + d[:, 2] * d[:, 2]) < float(sq)
+                        + d[:, 2] * d[:, 2]) < sq
                 if near.any():
                     alive[np.unique(pair_c[near])] = False
     return alive

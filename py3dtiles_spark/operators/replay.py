@@ -31,7 +31,7 @@ from py3dtiles_spark.functions.geometry import (
     cell_keys_for_node,
     child_index_for_node,
     compute_spacing,
-    node_geometry,
+    node_frame,
 )
 
 
@@ -59,8 +59,30 @@ def assign_subtree(point_ids: np.ndarray, xyz: np.ndarray, tile_id: str,
 
 def _assign(xyz, idx, tile_id, root_aabb, root_spacing, scale,
             split_threshold, out):
+    root_hop = tile_id == ""
     while True:
-        aabb, spacing = node_geometry(tile_id, root_aabb, root_spacing)
+        frame = node_frame(tile_id, root_aabb, root_spacing)
+        spacing = frame.spacing
+        if root_hop:
+            # the reference root NEVER retains points: node_process forces
+            # make_empty_node for name='' (node_process.py:88,109) so every
+            # point forwards to a depth-1 octant; the root pnts is a
+            # post-hoc 2x-spacing overview (convert.py:44-66), not an
+            # assignment. Route unconditionally, no accept.
+            root_hop = False
+            if len(idx) == 0:
+                return
+            children = child_index_for_node(xyz[idx], frame)
+            uniq = np.unique(children)
+            if len(uniq) == 1:
+                idx = idx
+                tile_id = str(uniq[0])
+                continue
+            for child in uniq:
+                sub = idx[children == child]
+                _assign(xyz, sub, str(child), root_aabb, root_spacing,
+                        scale, split_threshold, out)
+            return
         if len(idx) < split_threshold or spacing <= MIN_SPACING * scale:
             out[idx] = tile_id
             return
@@ -78,21 +100,21 @@ def _assign(xyz, idx, tile_id, root_aabb, root_spacing, scale,
                                 - lo.astype(np.float64)) ** 2))
         corners = np.stack([lo, hi]).astype(np.float32)
         if diam_sq * 1.0001 < spacing * spacing:
-            ck = cell_keys_for_node(corners, aabb)
-            cd = child_index_for_node(corners, aabb)
+            ck = cell_keys_for_node(corners, frame)
+            cd = child_index_for_node(corners, frame)
             if ck[0] == ck[1] and cd[0] == cd[1]:
                 out[idx[0]] = tile_id
                 idx = idx[1:]
                 tile_id = tile_id + str(cd[0])
                 continue
 
-        keys = cell_keys_for_node(pts, aabb)
+        keys = cell_keys_for_node(pts, frame)
         accept = accept_mask_for_cells(pts, keys, spacing * spacing)
         out[idx[accept]] = tile_id
         rej = idx[~accept]
         if len(rej) == 0:
             return
-        children = child_index_for_node(xyz[rej], aabb)
+        children = child_index_for_node(xyz[rej], frame)
         uniq = np.unique(children)
         if len(uniq) == 1:
             # single-child forward: stay in this frame (deep skew chains

@@ -70,12 +70,17 @@ def rollup_small_children(assignments: DataFrame,
 def build_tileset_json(tiles_rows, root_aabb: np.ndarray, root_spacing: float,
                        scale: float = 1.0,
                        spill_chars: Optional[int] = TILESET_JSON_SPILL_CHARS,
-                       content_uri=lambda tid: f"r{tid}.pnts") -> dict:
+                       content_uri=lambda tid: f"r{tid}.pnts",
+                       transform: Optional[list] = None) -> dict:
     """Driver-side BVH assembly from collected tiles rows.
 
     tiles_rows: iterable of Rows/dicts with tile_id, point_count,
     min_x..max_z. Returns {"tileset.json": <dict>, "tileset.<name>.json":
     <dict>, ...} — the main document plus any spilled subtrees.
+
+    transform: optional 16-float column-major root transform matrix
+    (T(offset) . S(1/scale) . R^-1, reference convert.py:36-41,71) — build
+    with functions.crs.tileset_transform.
     """
     info = {}
     for r in tiles_rows:
@@ -141,12 +146,66 @@ def build_tileset_json(tiles_rows, root_aabb: np.ndarray, root_spacing: float,
         child["refine"] = "ADD"
     diag = float(np.linalg.norm(
         np.asarray(root_aabb[1], dtype=float) - np.asarray(root_aabb[0], dtype=float)))
+    root_doc = {**root, "refine": "REPLACE"}
+    if transform is not None:
+        root_doc["transform"] = list(transform)
     docs["tileset.json"] = {
         "asset": {"version": "1.0"},
         "geometricError": diag / scale,
-        "root": {**root, "refine": "REPLACE"},
+        "root": root_doc,
     }
     return docs
+
+
+def root_overview(points_with_tiles: DataFrame, root_aabb, root_spacing,
+                  include_rgb: bool = False) -> DataFrame:
+    """The root tile's pnts content (reference write_tileset,
+    convert.py:44-66): a grid-accept LOD subsample of the depth-1
+    children's contents at DOUBLE the root spacing (Node('', aabb,
+    spacing*2)). The root holds no assigned points (node_process forces it
+    empty); its content is this overview.
+
+    Relational form: rows assigned to a depth-1 tile, grouped by ROOT grid
+    cell (native key expression — one shuffle on the cell key), canonical
+    (tile_id, point_id) order, sequential accept per cell at (2*spacing)^2.
+    The reference's insertion order is its children's pnts file order; the
+    engine pins the canonical order instead (same determinism contract as
+    the tree build).
+    """
+    import pandas as pd
+    from py3dtiles_spark.functions.geometry import (
+        GRID_INITIAL_CELL_COUNT, node_frame, sequential_accept)
+
+    frame = node_frame("", root_aabb, root_spacing)
+    c = GRID_INITIAL_CELL_COUNT
+    inv = np.float32(1.0) / frame.size
+    scale = np.array([c] * 3, dtype=np.int32) * inv      # int32*f32 -> f64
+    shift = int(c - 1).bit_length()
+
+    def axis(col, mn, sc):
+        diff = (F.col(col).cast("float") - F.lit(float(mn)).cast("float"))
+        prod = F.lit(float(sc)) * diff.cast("double")
+        return F.least(F.greatest(prod.cast("long"), F.lit(0)), F.lit(c - 1))
+
+    key = (axis("x", frame.aabb[0][0], scale[0])
+           + F.shiftleft(axis("y", frame.aabb[0][1], scale[1]), shift)
+           + F.shiftleft(axis("z", frame.aabb[0][2], scale[2]), 2 * shift))
+
+    sq = (2.0 * float(root_spacing)) ** 2
+    cols = ["point_id", "x", "y", "z"] + (["r", "g", "b"] if include_rgb else [])
+    schema = ("point_id long, x float, y float, z float"
+              + (", r smallint, g smallint, b smallint" if include_rgb else ""))
+
+    def accept_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tile_id", "point_id"],
+                              kind="stable").reset_index(drop=True)
+        xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float32)
+        mask = sequential_accept(xyz, sq)
+        return pdf.loc[mask, cols]
+
+    depth1 = points_with_tiles.filter(F.length("tile_id") == 1)
+    return (depth1.withColumn("_ck", key)
+            .groupBy("_ck").applyInPandas(accept_cell, schema=schema))
 
 
 def tileset_from_tiling(points_with_tiles: DataFrame, root_aabb, root_spacing,

@@ -62,7 +62,7 @@ from py3dtiles_spark.functions.geometry import (
     GRID_INITIAL_CELL_COUNT,
     MIN_SPACING,
     SPLIT_THRESHOLD,
-    node_geometry,
+    node_frame,
     sequential_accept,
     child_index_for_node,
     compute_spacing,
@@ -73,9 +73,12 @@ PENDING_SCHEMA = "point_id long, x float, y float, z float, tile_id string"
 KERNEL_SCHEMA = PENDING_SCHEMA + ", accepted boolean"
 ASSIGN_SCHEMA = "point_id long, tile_id string"
 
+# mn*: grid aabb_min (float32, reference Grid constant); s*: cell_count *
+# inv_aabb_size — DOUBLE because the reference numba kernel promotes
+# int32 * float32 to float64 (distance.py:24-27)
 _NODE_META_SCHEMA = ("tile_id string, mode string, "
                      "mnx float, mny float, mnz float, "
-                     "sx float, sy float, sz float")
+                     "sx double, sy double, sz double")
 
 
 @dataclass
@@ -101,11 +104,24 @@ class TilingConfig:
     plan_parallelism: Optional[int] = None
     max_levels: int = 32
     checkpoint_dir: Optional[str] = None
+    # "parquet": every level lands on storage (resumable, lineage-truncating
+    #   — the 100 TB default: at cluster scale the level snapshot IS the
+    #   recovery unit and feeds the final assignment read).
+    # "memory": per-level persist(MEMORY_AND_DISK) instead of parquet —
+    #   the classic Spark iterative-algorithm shape; no per-level file
+    #   round-trip (2x less I/O + page churn per level), but not resumable
+    #   across driver restarts. Right choice for ephemeral/benchmark runs.
+    checkpoint: str = "parquet"
     # optional approximation for extreme scale: only the first N canonical
     # points per (node, cell) run the sequential accept loop; the rest are
     # forwarded as rejected. None = exact reference semantics.
     grid_sample_cap: Optional[int] = None
     cell_count: int = GRID_INITIAL_CELL_COUNT
+    # explicit root geometry (float64 (2,3) + spacing). The LAS/XYZ convert
+    # plan passes the header-derived float64 aabb here for exact reference
+    # parity (convert.py:420-437); None = one agg pass over the points.
+    root_aabb: Optional[object] = None
+    root_spacing: Optional[float] = None
 
 
 @dataclass
@@ -155,18 +171,19 @@ def _unified_kernel(cfg: TilingConfig, root_aabb, root_spacing):
                 "tile_id": tiles, "accepted": True})
         # cell mode: canonical-order accept within one grid cell
         pdf = base.sort_values("point_id", kind="stable").reset_index(drop=True)
-        aabb, spacing = node_geometry(tile_id, root_aabb, root_spacing)
+        frame = node_frame(tile_id, root_aabb, root_spacing)
         xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float32)
+        sq = frame.spacing * frame.spacing
         if cap is not None and len(pdf) > cap:
             accept = np.zeros(len(pdf), dtype=bool)
-            accept[:cap] = sequential_accept(xyz[:cap], spacing * spacing)
+            accept[:cap] = sequential_accept(xyz[:cap], sq)
         else:
-            accept = sequential_accept(xyz, spacing * spacing)
+            accept = sequential_accept(xyz, sq)
         out = pdf.copy()
         out["accepted"] = accept
         rej = ~accept
         if rej.any():
-            digits = child_index_for_node(xyz[rej], aabb)
+            digits = child_index_for_node(xyz[rej], frame)
             out.loc[rej, "tile_id"] = [tile_id + str(d) for d in digits]
         return out
 
@@ -175,10 +192,10 @@ def _unified_kernel(cfg: TilingConfig, root_aabb, root_spacing):
 
 def _node_meta_rows(counts_rows, cfg: TilingConfig, root_aabb, root_spacing,
                     parallelism: int = 32):
-    """Driver-side routing: per live node -> mode + float32 grid constants
-    (for cell nodes: aabb_min and scale = cell_count * inv_aabb_size, both
-    float32 so the native key expression is bit-identical to the numpy
-    kernel)."""
+    """Driver-side routing: per live node -> mode + grid constants for cell
+    nodes (aabb_min float32, scale = cell_count * inv_aabb_size float64 —
+    the reference kernel's exact promotion) so the native key expression is
+    bit-identical to the numpy/reference kernel."""
     spacing_floor = MIN_SPACING * cfg.scale
     level_total = sum(r["cnt"] for r in counts_rows)
     local_cutoff = max(
@@ -194,15 +211,35 @@ def _node_meta_rows(counts_rows, cfg: TilingConfig, root_aabb, root_spacing,
         elif cnt <= local_cutoff:
             rows.append((tid, "local", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
         else:
-            aabb, _ = node_geometry(tid, root_aabb, root_spacing)
-            size = (aabb[1] - aabb[0]).astype(np.float32)
-            inv = (np.float32(1.0) / size).astype(np.float32)
+            frame = node_frame(tid, root_aabb, root_spacing)
+            inv = np.float32(1.0) / frame.size          # f32 (node.py:30)
             scale = (np.array([cfg.cell_count] * 3, dtype=np.int32)
-                     * inv).astype(np.float32)
+                     * inv)                             # int32*f32 -> f64
             rows.append((tid, "cell",
-                         float(aabb[0][0]), float(aabb[0][1]), float(aabb[0][2]),
+                         float(frame.aabb[0][0]), float(frame.aabb[0][1]),
+                         float(frame.aabb[0][2]),
                          float(scale[0]), float(scale[1]), float(scale[2])))
     return rows
+
+
+def _root_route_expr(root_aabb, root_spacing):
+    """Depth-1 octant digit as a native column expression (the reference's
+    xyz_to_child_index vs the root center with the quadtree z-trick,
+    node.py:123-131). Comparing the float32 column against the exact
+    float32 center literal is equivalent to the reference's
+    (xyz - center) >= 0 float32 test (nearby-operand subtraction is exact,
+    and rounding never flips the sign of a nonzero difference)."""
+    from py3dtiles_spark.functions.geometry import (
+        QUADTREE, node_frame, subdivision_type)
+    frame = node_frame("", root_aabb, root_spacing)
+    cx, cy = float(frame.center[0]), float(frame.center[1])
+    cz = (float(frame.aabb[1][2])
+          if subdivision_type(frame.size) == QUADTREE
+          else float(frame.center[2]))
+    digit = ((F.col("x") >= cx).cast("int") * 4
+             + (F.col("y") >= cy).cast("int") * 2
+             + (F.col("z") >= cz).cast("int"))
+    return digit.cast("string")
 
 
 def _native_cell_key(cfg: TilingConfig):
@@ -232,6 +269,9 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     are dropped (join payload back on point_id afterwards).
     """
     cfg = cfg or TilingConfig()
+    memory_mode = cfg.checkpoint == "memory"
+    if memory_mode and resume:
+        raise ValueError("resume=True requires checkpoint='parquet'")
     ckpt = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="tiling_ckpt_")
     os.makedirs(ckpt, exist_ok=True)
 
@@ -247,7 +287,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        root_aabb = np.array(meta["root_aabb"], dtype=np.float32)
+        root_aabb = np.array(meta["root_aabb"], dtype=np.float64)
         root_spacing = float(meta["root_spacing"])
         done = sorted(int(d.split("=")[1]) for d in os.listdir(ckpt)
                       if d.startswith("level=") and
@@ -263,14 +303,34 @@ def build_tiling(spark: SparkSession, points: DataFrame,
         for d in os.listdir(ckpt):
             if d.startswith("level="):
                 shutil.rmtree(os.path.join(ckpt, d), ignore_errors=True)
-        root_aabb, root_spacing = compute_root_aabb(narrow)
+        if cfg.root_aabb is not None:
+            root_aabb = np.asarray(cfg.root_aabb, dtype=np.float64)
+            root_spacing = (float(cfg.root_spacing)
+                            if cfg.root_spacing is not None
+                            else compute_spacing(root_aabb))
+        else:
+            root_aabb, root_spacing = compute_root_aabb(narrow)
         with open(meta_path, "w") as f:
             json.dump({"root_aabb": root_aabb.tolist(),
                        "root_spacing": root_spacing,
                        "scale": cfg.scale}, f)
 
+    input_cached = None
     if start_level == 0:
-        pending = narrow.withColumn("tile_id", F.lit(""))
+        # ROOT HOP — reference semantics: the root never retains points
+        # (node_process.py:88,109 forces make_empty_node for name='', so
+        # every point forwards to a depth-1 octant; the root pnts is a
+        # post-hoc overview, operators/tileset.py root_overview). Pure JVM
+        # column expression: zero shuffle, zero Python for the full-volume
+        # level — the cheapest possible level 0 at 100 TB.
+        pending = narrow.withColumn("tile_id", _root_route_expr(root_aabb,
+                                                                root_spacing))
+        if memory_mode:
+            # level 0 scans pending twice (counts + kernel); cache so the
+            # upstream lineage (source scan / generation) runs once
+            from pyspark import StorageLevel
+            pending = pending.persist(StorageLevel.MEMORY_AND_DISK)
+            input_cached = pending
     else:
         prev = os.path.join(ckpt, f"level={start_level - 1}", "out")
         pending = (spark.read.schema(KERNEL_SCHEMA).parquet(prev)
@@ -279,6 +339,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     kernel = _unified_kernel(cfg, root_aabb, root_spacing)
     group_key = _native_cell_key(cfg)
     complete = False
+    level_dfs: list[DataFrame] = []   # memory mode: persisted level outputs
 
     # kernel groups are CPU-heavy but byte-tiny (narrow rows): AQE's
     # byte-based partition coalescing would serialize them onto a few
@@ -315,8 +376,14 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                    .drop("mnx", "mny", "mnz", "sx", "sy", "sz")
                    .groupBy("tile_id", "gk")
                    .applyInPandas(kernel, schema=KERNEL_SCHEMA))
-        (nonleaf.unionByName(leaf_rows)
-         .write.mode("overwrite").parquet(os.path.join(lv_dir, "out")))
+        out_df = nonleaf.unionByName(leaf_rows)
+        if memory_mode:
+            from pyspark import StorageLevel
+            out_df = out_df.persist(StorageLevel.MEMORY_AND_DISK)
+            out_df.count()   # materialize the level
+            level_dfs.append(out_df)
+        else:
+            out_df.write.mode("overwrite").parquet(os.path.join(lv_dir, "out"))
         t_kernel = time.time() - t0
 
         modes = {}
@@ -326,27 +393,40 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                     "nodes": len(meta_rows), "modes": modes,
                     "sec_counts": round(t_counts, 3),
                     "sec_kernel": round(t_kernel, 3)}
-        with open(os.path.join(lv_dir, "_MANIFEST.json"), "w") as f:
-            json.dump(lv_stats, f)
+        if not memory_mode:
+            with open(os.path.join(lv_dir, "_MANIFEST.json"), "w") as f:
+                json.dump(lv_stats, f)
         counters["levels"].append(lv_stats)
 
         if modes.get("cell", 0) == 0:
             # leaf/local groups fully resolve their points — nothing forwards
             complete = True
             break
-        pending = (spark.read.schema(KERNEL_SCHEMA)
-                   .parquet(os.path.join(lv_dir, "out"))
-                   .filter("NOT accepted").drop("accepted"))
+        if memory_mode:
+            pending = out_df.filter("NOT accepted").drop("accepted")
+        else:
+            pending = (spark.read.schema(KERNEL_SCHEMA)
+                       .parquet(os.path.join(lv_dir, "out"))
+                       .filter("NOT accepted").drop("accepted"))
 
     spark.conf.set(_coalesce_key, _coalesce_prev)
-    # explicit per-level paths (not a level=* glob): stale dirs from other
-    # runs can never leak in, and Spark skips the streaming-metadata probe
-    # that logs a spurious FileNotFoundException WARN on glob paths
-    level_outs = [os.path.join(ckpt, f"level={s['level']}", "out")
-                  for s in counters["levels"]]
-    assignments = (spark.read.schema(KERNEL_SCHEMA).parquet(*level_outs)
-                   .filter("accepted").select("point_id", "tile_id")
-                   ) if level_outs else spark.createDataFrame([], ASSIGN_SCHEMA)
+    if input_cached is not None:
+        input_cached.unpersist()
+    if memory_mode:
+        assignments = spark.createDataFrame([], ASSIGN_SCHEMA)
+        if level_dfs:
+            from functools import reduce
+            assignments = (reduce(DataFrame.unionByName, level_dfs)
+                           .filter("accepted").select("point_id", "tile_id"))
+    else:
+        # explicit per-level paths (not a level=* glob): stale dirs from
+        # other runs can never leak in, and Spark skips the streaming-
+        # metadata probe that logs a spurious FileNotFoundException WARN
+        level_outs = [os.path.join(ckpt, f"level={s['level']}", "out")
+                      for s in counters["levels"]]
+        assignments = (spark.read.schema(KERNEL_SCHEMA).parquet(*level_outs)
+                       .filter("accepted").select("point_id", "tile_id")
+                       ) if level_outs else spark.createDataFrame([], ASSIGN_SCHEMA)
 
     counters["points_total"] = (counters["levels"][0]["points_in"]
                                 if counters["levels"] else 0)

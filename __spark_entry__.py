@@ -419,6 +419,95 @@ def q_event_sessions(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def _rect_features(spark, sf_dir, max_id=3000):
+    """Deterministic 0.1-degree square footprints centered on the geocoded
+    docs — the synthetic vector layer for the export-path queries. Uses the
+    reference's input convention (export.py:244 ST_RotateX(-pi/2)): glTF
+    frame, y = height (0 for footprints), z = -northing; the quadtree's
+    z-up unrotate then tiles on (x, northing)."""
+    g = _geo(spark, sf_dir).filter(f"doc_id < {max_id}")
+    return g.select(
+        F.col("doc_id").alias("geom_id"),
+        (F.col("x") - 0.05).alias("min_x"), F.lit(0.0).alias("min_y"),
+        (-(F.col("y") + 0.05)).alias("min_z"),
+        (F.col("x") + 0.05).alias("max_x"), F.lit(0.0).alias("max_y"),
+        (-(F.col("y") - 0.05)).alias("max_z"),
+        F.col("n_chars").cast("double").alias("weight"))
+
+
+def q_vector_triangulate(spark, sf_dir):
+    """§3.3 WKB parse + triangulation (reference TriangleSoup,
+    wkb_utils.py:139-233): rectangle footprints -> 2 triangles each with
+    exact float32 bboxes (oracle casts through REAL for bit-parity)."""
+    import pandas as pd
+    import numpy as np
+    from py3dtiles_spark.functions.wkb import make_wkb_multipolygon
+    from py3dtiles_spark.operators.export import triangulate_features
+    g = _geo(spark, sf_dir).filter("doc_id < 2000").select("doc_id", "x", "y")
+
+    def mk(batches):
+        for pdf in batches:
+            wkbs = [make_wkb_multipolygon([[np.array(
+                [[x, y, 0.0], [x + 1.0, y, 0.0],
+                 [x + 1.0, y + 0.5, 0.0], [x, y + 0.5, 0.0]])]])
+                for x, y in zip(pdf["x"], pdf["y"])]
+            yield pd.DataFrame({"geom_id": pdf["doc_id"], "wkb": wkbs})
+
+    f = triangulate_features(g.mapInPandas(mk, "geom_id long, wkb binary"))
+    return f.select(
+        "geom_id", "n_tris",
+        F.round("min_x", 6).alias("bx0"), F.round("min_y", 6).alias("by0"),
+        F.round("max_x", 6).alias("bx1"), F.round("max_y", 6).alias("by1"),
+    ).orderBy("geom_id")
+
+
+def q_feature_quadtree(spark, sf_dir):
+    """§3.3 quadtree feature tiling (export.py:141-160 greedy top-20 per
+    cell, remainder into 2x2 children) — pure window-function loop."""
+    from py3dtiles_spark.operators.export import assign_quadtree
+    feats = _rect_features(spark, sf_dir)
+    assigned = assign_quadtree(feats, max_tile_size=45.0,
+                               features_per_tile=20, weight_col="weight",
+                               max_levels=3)
+    return (assigned.select("geom_id", F.col("level").cast("long").alias("level"),
+                            "cell_x", "cell_y")
+            .orderBy("geom_id"))
+
+
+def q_vector_b3dm(spark, sf_dir):
+    """§3.3 b3dm emission: per-node feature counts of the packed tiles
+    (binary payloads themselves are golden-tested in pytest vs the
+    reference's dragon_low.b3dm / building.wkb fixtures)."""
+    import pandas as pd
+    import numpy as np
+    from py3dtiles_spark.functions.wkb import make_wkb_multipolygon
+    from py3dtiles_spark.operators.export import (
+        assign_quadtree, build_b3dm_tiles, triangulate_features)
+    g = _geo(spark, sf_dir).filter("doc_id < 1000").select(
+        "doc_id", "x", "y", "n_chars")
+
+    def mk(batches):
+        for pdf in batches:
+            # glTF-frame footprints (y = height = 0, z = -northing)
+            wkbs = [make_wkb_multipolygon([[np.array(
+                [[x - 0.05, 0.0, -(y - 0.05)], [x + 0.05, 0.0, -(y - 0.05)],
+                 [x + 0.05, 0.0, -(y + 0.05)], [x - 0.05, 0.0, -(y + 0.05)]])]])
+                for x, y in zip(pdf["x"], pdf["y"])]
+            yield pd.DataFrame({"geom_id": pdf["doc_id"], "wkb": wkbs,
+                                "weight": pdf["n_chars"].astype(float)})
+
+    geoms = g.mapInPandas(mk, "geom_id long, wkb binary, weight double")
+    feats = triangulate_features(geoms).join(
+        geoms.select("geom_id", "weight"), "geom_id")
+    assigned = assign_quadtree(feats, max_tile_size=45.0,
+                               features_per_tile=20, weight_col="weight",
+                               max_levels=3)
+    tiles = build_b3dm_tiles(assigned)
+    return (tiles.select("node_id", "n_features",
+                         (F.length("b3dm") > 100).alias("has_payload"))
+            .orderBy("node_id"))
+
+
 # ------------------------------------------------- rows-only (no SQL twin) --
 
 def q_tiling_octree(spark, sf_dir):
@@ -482,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrant_route": q_quadrant_route,
         "union_dedup": q_union_dedup,
         "event_sessions": q_event_sessions,
+        "vector_triangulate": q_vector_triangulate,
+        "feature_quadtree": q_feature_quadtree,
+        "vector_b3dm": q_vector_b3dm,
         # rows-only (non-SQL-expressible)
         "tiling_octree": q_tiling_octree,
         "simhash_neardup": q_simhash_neardup,
@@ -684,6 +776,76 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id >= 150 AND doc_id < 450)
             SELECT count(*) AS n_rows,
                    count(DISTINCT doc_id) AS n_distinct FROM u""",
+        "vector_triangulate": f"""{geo}
+            SELECT doc_id AS geom_id, 2::BIGINT AS n_tris,
+                   round(CAST(x AS REAL)::DOUBLE, 6) AS bx0,
+                   round(CAST(y AS REAL)::DOUBLE, 6) AS by0,
+                   round(CAST(x + 1.0 AS REAL)::DOUBLE, 6) AS bx1,
+                   round(CAST(y + 0.5 AS REAL)::DOUBLE, 6) AS by1
+            FROM geo WHERE doc_id < 2000 ORDER BY geom_id""",
+        "feature_quadtree": f"""{geo}, f AS (
+                SELECT doc_id AS geom_id,
+                       ((x-0.05) + (x+0.05)) * 0.5 AS cx,
+                       ((y-0.05) + (y+0.05)) * 0.5 AS cy,
+                       CAST(n_chars AS DOUBLE) AS w
+                FROM geo WHERE doc_id < 3000),
+            ext AS (SELECT min(x-0.05) AS xmin, min(y-0.05) AS ymin
+                    FROM geo WHERE doc_id < 3000),
+            l0 AS (SELECT f.*, ext.xmin, ext.ymin,
+                          floor((cx - xmin)/45.0)::BIGINT AS c0x,
+                          floor((cy - ymin)/45.0)::BIGINT AS c0y
+                   FROM f, ext),
+            r0 AS (SELECT *, row_number() OVER (PARTITION BY c0x, c0y
+                       ORDER BY w DESC, geom_id) AS rk FROM l0),
+            l1 AS (SELECT *, floor((cx - xmin)/22.5)::BIGINT AS c1x,
+                          floor((cy - ymin)/22.5)::BIGINT AS c1y
+                   FROM r0 WHERE rk > 20),
+            r1 AS (SELECT *, row_number() OVER (PARTITION BY c1x, c1y
+                       ORDER BY w DESC, geom_id) AS rk1 FROM l1)
+            SELECT geom_id, 0::BIGINT AS level, c0x AS cell_x, c0y AS cell_y
+            FROM r0 WHERE rk <= 20
+            UNION ALL
+            SELECT geom_id, 1::BIGINT, c1x, c1y FROM r1 WHERE rk1 <= 20
+            UNION ALL
+            SELECT geom_id, 2::BIGINT,
+                   floor((cx - xmin)/11.25)::BIGINT,
+                   floor((cy - ymin)/11.25)::BIGINT
+            FROM r1 WHERE rk1 > 20
+            ORDER BY geom_id""",
+        "vector_b3dm": f"""{geo}, f AS (
+                SELECT doc_id AS geom_id,
+                       (CAST(x-0.05 AS REAL)::DOUBLE
+                        + CAST(x+0.05 AS REAL)::DOUBLE) * 0.5 AS cx,
+                       (CAST(y-0.05 AS REAL)::DOUBLE
+                        + CAST(y+0.05 AS REAL)::DOUBLE) * 0.5 AS cy,
+                       CAST(n_chars AS DOUBLE) AS w
+                FROM geo WHERE doc_id < 1000),
+            ext AS (SELECT min(CAST(x-0.05 AS REAL)::DOUBLE) AS xmin,
+                           min(CAST(y-0.05 AS REAL)::DOUBLE) AS ymin
+                    FROM geo WHERE doc_id < 1000),
+            l0 AS (SELECT f.*, ext.xmin, ext.ymin,
+                          floor((cx - xmin)/45.0)::BIGINT AS c0x,
+                          floor((cy - ymin)/45.0)::BIGINT AS c0y
+                   FROM f, ext),
+            r0 AS (SELECT *, row_number() OVER (PARTITION BY c0x, c0y
+                       ORDER BY w DESC, geom_id) AS rk FROM l0),
+            l1 AS (SELECT *, floor((cx - xmin)/22.5)::BIGINT AS c1x,
+                          floor((cy - ymin)/22.5)::BIGINT AS c1y
+                   FROM r0 WHERE rk > 20),
+            r1 AS (SELECT *, row_number() OVER (PARTITION BY c1x, c1y
+                       ORDER BY w DESC, geom_id) AS rk1 FROM l1),
+            nodes AS (
+                SELECT '0/' || CAST(c0x AS VARCHAR) || '/' || CAST(c0y AS VARCHAR)
+                       AS node_id FROM r0 WHERE rk <= 20
+                UNION ALL
+                SELECT '1/' || CAST(c1x AS VARCHAR) || '/' || CAST(c1y AS VARCHAR)
+                FROM r1 WHERE rk1 <= 20
+                UNION ALL
+                SELECT '2/' || CAST(floor((cx - xmin)/11.25)::BIGINT AS VARCHAR)
+                       || '/' || CAST(floor((cy - ymin)/11.25)::BIGINT AS VARCHAR)
+                FROM r1 WHERE rk1 > 20)
+            SELECT node_id, count(*) AS n_features, TRUE AS has_payload
+            FROM nodes GROUP BY node_id ORDER BY node_id""",
         "event_sessions": """
             WITH g AS (
                 SELECT user_id, ts,

@@ -48,22 +48,70 @@ def main(argv=None) -> int:
     m.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
-    i = sub.add_parser("info", help="decode a .pnts file")
+    e = sub.add_parser("export", help="WKB features -> b3dm quadtree tileset")
+    e.add_argument("--wkb-dir", required=True,
+                   help="directory of .wkb multipolygon files (S7) or a "
+                        "parquet of (geom_id, wkb[, weight])")
+    e.add_argument("--output", required=True)
+    e.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
+    i = sub.add_parser("info", help="decode a .pnts or .b3dm file")
     i.add_argument("path")
 
     args = p.parse_args(argv)
 
     if args.cmd == "info":
-        from py3dtiles_spark.sources.pnts import decode_pnts
         with open(args.path, "rb") as f:
-            xyz, rgb, ft = decode_pnts(f.read())
-        print(json.dumps({"points_length": ft["POINTS_LENGTH"],
-                          "has_rgb": rgb is not None,
-                          "feature_table": ft}))
+            buf = f.read()
+        if buf[:4] == b"b3dm":
+            from py3dtiles_spark.sources.b3dm import parse_b3dm
+            d = parse_b3dm(buf)
+            print(json.dumps({k: d[k] for k in (
+                "tile_byte_length", "bt_json_byte_length", "glb_version")}))
+        else:
+            from py3dtiles_spark.sources.pnts import decode_pnts
+            xyz, rgb, ft = decode_pnts(buf)
+            print(json.dumps({"points_length": ft["POINTS_LENGTH"],
+                              "has_rgb": rgb is not None,
+                              "feature_table": ft}))
         return 0
 
     from py3dtiles_spark.session import get_spark
     spark = get_spark("py3dtiles-spark-cli", cpus=args.cpus)
+
+    if args.cmd == "export":
+        from pyspark.sql import functions as F
+        from py3dtiles_spark.operators.export import (
+            assign_quadtree, build_b3dm_tiles, build_vector_tileset,
+            triangulate_features)
+        if args.wkb_dir.endswith(".parquet"):
+            geoms = spark.read.parquet(args.wkb_dir)
+        else:
+            # S7 WKB directory scan (reference export.py:273-292)
+            geoms = (spark.read.format("binaryFile")
+                     .option("pathGlobFilter", "*.wkb").load(args.wkb_dir)
+                     .select(F.xxhash64("path").alias("geom_id"),
+                             F.col("content").alias("wkb")))
+        feats = triangulate_features(geoms)
+        if "weight" in geoms.columns:
+            feats = feats.join(geoms.select("geom_id", "weight"), "geom_id")
+            assigned = assign_quadtree(feats, weight_col="weight")
+        else:
+            assigned = assign_quadtree(feats)
+        tiles_dir = os.path.join(args.output, "tiles")
+        os.makedirs(tiles_dir, exist_ok=True)
+        tile_rows = build_b3dm_tiles(assigned).collect()
+        for r in tile_rows:
+            name = r.node_id.replace("/", "_")
+            with open(os.path.join(tiles_dir, f"{name}.b3dm"), "wb") as f:
+                f.write(bytes(r.b3dm))
+        ts = build_vector_tileset(assigned.collect())
+        with open(os.path.join(args.output, "tileset.json"), "w") as f:
+            json.dump(ts, f)
+        print(json.dumps({"features": assigned.count(),
+                          "tiles": len(tile_rows)}))
+        return 0
 
     if args.cmd == "merge":
         from py3dtiles_spark.operators.merge import merge_tilesets

@@ -1,0 +1,221 @@
+"""Vector/mesh export: WKB features -> quadtree b3dm tileset.
+
+Re-expresses the reference export path (export.py:110-292) Spark-first:
+
+reference                                   | engine
+--------------------------------------------|---------------------------------
+SELECT .. ORDER BY weight DESC (export.py:254)| orderBy is replaced by a
+                                            |   window rank per cell (below)
+TriangleSoup.from_wkb per geometry          | mapInPandas Arrow batches
+                                            |   (functions/wkb.py)
+2000-unit grid, first 20 features per cell, | level-synchronous WINDOW loop:
+  remainder recurses into 2x2 children      |   row_number() over
+  (export.py:141-160, 199-221)              |   (cell at size/2^level,
+                                            |    ORDER BY weight DESC) <= 20
+per-node b3dm write (export.py:175-196)     | groupBy(node).applyInPandas
+                                            |   -> (node, b3dm bytes)
+tileset.json recursion (export.py:60-91)    | driver assembly from the
+                                            |   node-count-sized tiles list
+
+The window loop keeps everything JVM-side: each level is ONE shuffle on the
+cell key; features that ranked <= 20 leave the loop, the remainder halves
+its cell size. Depth is log2(features_per_cell/20), so even a billion
+features in one 2000-unit cell resolve in ~13 levels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+MAX_TILE_SIZE = 2000.0      # export.py:112
+FEATURES_PER_TILE = 20      # export.py:113
+
+
+def triangulate_features(geoms: DataFrame, wkb_col: str = "wkb",
+                         id_col: str = "geom_id") -> DataFrame:
+    """(geom_id, wkb) -> (geom_id, positions binary, normals binary,
+    min_x..max_z, n_tris). Arrow-batched; the only Python stage."""
+    from py3dtiles_spark.functions.wkb import (
+        triangles_to_arrays, wkb_to_triangles)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for gid, wkb in zip(pdf[id_col], pdf[wkb_col]):
+                tris = wkb_to_triangles(bytes(wkb))
+                pos, norm, bbox = triangles_to_arrays(tris)
+                rows.append((gid, pos, norm,
+                             bbox[0][0], bbox[0][1], bbox[0][2],
+                             bbox[1][0], bbox[1][1], bbox[1][2], len(tris)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "positions", "normals", "min_x", "min_y", "min_z",
+                "max_x", "max_y", "max_z", "n_tris"])
+
+    schema = (f"{id_col} long, positions binary, normals binary, "
+              "min_x double, min_y double, min_z double, "
+              "max_x double, max_y double, max_z double, n_tris long")
+    return geoms.mapInPandas(run, schema=schema)
+
+
+def _z_up(df: DataFrame) -> DataFrame:
+    """glTF is Y-up; tile extents live in the Z-up frame (export.py:121-129):
+    (x, y, z) -> (x, -z_max.. , y)."""
+    return df.select(
+        "*",
+        F.col("min_x").alias("zx0"), (-F.col("max_z")).alias("zy0"),
+        F.col("max_x").alias("zx1"), (-F.col("min_z")).alias("zy1"))
+
+
+def assign_quadtree(features: DataFrame,
+                    max_tile_size: float = MAX_TILE_SIZE,
+                    features_per_tile: int = FEATURES_PER_TILE,
+                    weight_col: str | None = None,
+                    max_levels: int = 24) -> DataFrame:
+    """Quadtree node assignment by the reference's greedy rule: per cell,
+    the first `features_per_tile` features (weight order) stay, the rest
+    descend into the 2x2 subdivision. Returns features + (level, cx, cy,
+    node_id string 'L/cx/cy').
+
+    Pure window functions — zero Python, one shuffle per level, and levels
+    shrink geometrically.
+    """
+    f = _z_up(features)
+    ext = f.agg(F.min("zx0").alias("x0"), F.min("zy0").alias("y0")).collect()[0]
+    x_min, y_min = float(ext.x0), float(ext.y0)
+
+    f = f.withColumn("_wcx", (F.col("zx0") + F.col("zx1")) * 0.5) \
+         .withColumn("_wcy", (F.col("zy0") + F.col("zy1")) * 0.5)
+    order = ([F.col(weight_col).desc(), F.col("geom_id").asc()]
+             if weight_col else [F.col("geom_id").asc()])
+
+    out = []
+    remaining = f
+    for level in range(max_levels):
+        size = max_tile_size / (2 ** level)
+        cx = F.floor((F.col("_wcx") - x_min) / size).cast("long")
+        cy = F.floor((F.col("_wcy") - y_min) / size).cast("long")
+        lv = remaining.withColumn("_cx", cx).withColumn("_cy", cy)
+        last = level == max_levels - 1
+        if last:
+            kept = lv.withColumn("level", F.lit(level))   # depth cap: keep all
+        else:
+            w = Window.partitionBy("_cx", "_cy").orderBy(*order)
+            lv = lv.withColumn("_rk", F.row_number().over(w))
+            kept = (lv.filter(F.col("_rk") <= features_per_tile)
+                    .withColumn("level", F.lit(level))
+                    .drop("_rk"))
+        out.append(kept)
+        if last:
+            break
+        remaining = lv.filter(F.col("_rk") > features_per_tile).drop(
+            "_rk", "_cx", "_cy")
+        if not remaining.take(1):
+            break
+
+    from functools import reduce
+    res = reduce(DataFrame.unionByName, out)
+    node = F.concat_ws("/", F.col("level"), F.col("_cx"), F.col("_cy"))
+    return (res.withColumn("node_id", node)
+            .withColumnRenamed("_cx", "cell_x")
+            .withColumnRenamed("_cy", "cell_y")
+            .drop("_wcx", "_wcy", "zx0", "zy0", "zx1", "zy1"))
+
+
+def build_b3dm_tiles(assigned: DataFrame, transform=None,
+                     id_col: str = "geom_id",
+                     with_batch_table: bool = True) -> DataFrame:
+    """(features + node_id) -> one row per node: (node_id, n_features,
+    b3dm binary). Executor-side packing, tile-sized rows out."""
+    from py3dtiles_spark.sources.b3dm import b3dm_bytes, gltf_from_arrays
+    identity = np.identity(4).flatten("F").tolist()
+    tf = identity if transform is None else list(transform)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        arrays = []
+        gids = []
+        for r in pdf.itertuples(index=False):
+            arrays.append({
+                "position": bytes(r.positions),
+                "normal": bytes(r.normals),
+                "bbox": [[r.min_x, r.min_y, r.min_z],
+                         [r.max_x, r.max_y, r.max_z]]})
+            gids.append(int(getattr(r, id_col)))
+        glb = gltf_from_arrays(arrays, tf, batched=True)
+        bt = {"id": gids} if with_batch_table else None
+        return pd.DataFrame({
+            "node_id": [pdf["node_id"].iat[0]],
+            "n_features": [len(arrays)],
+            "b3dm": [b3dm_bytes(glb, bt)]})
+
+    return assigned.groupBy("node_id").applyInPandas(
+        pack, schema="node_id string, n_features long, b3dm binary")
+
+
+def build_vector_tileset(assigned_rows, transform=None,
+                         geometric_error: float = 500.0) -> dict:
+    """Driver-side tileset.json for the quadtree (reference Node.to_tileset,
+    export.py:60-91): per-node bbox union of its features' z-up bboxes,
+    geometricError halving per level, refine 'add'."""
+    nodes: dict = {}
+    for r in assigned_rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        key = (int(d["level"]), int(d["cell_x"]), int(d["cell_y"]))
+        box = nodes.setdefault(key, [math.inf, math.inf, math.inf,
+                                     -math.inf, -math.inf, -math.inf])
+        zmin = [d["min_x"], -d["max_z"], d["min_y"]]
+        zmax = [d["max_x"], -d["min_z"], d["max_y"]]
+        for i in range(3):
+            box[i] = min(box[i], zmin[i])
+            box[3 + i] = max(box[3 + i], zmax[i])
+
+    def tile_json(key):
+        level, cx, cy = key
+        box = nodes[key]
+        children = [tile_json((level + 1, cx * 2 + dx, cy * 2 + dy))
+                    for dx in (0, 1) for dy in (0, 1)
+                    if (level + 1, cx * 2 + dx, cy * 2 + dy) in nodes]
+        for c in children:
+            cb = c["boundingVolume"]["box"]
+            cmin = [cb[0] - cb[3], cb[1] - cb[7], cb[2] - cb[11]]
+            cmax = [cb[0] + cb[3], cb[1] + cb[7], cb[2] + cb[11]]
+            for i in range(3):
+                box[i] = min(box[i], cmin[i])
+                box[3 + i] = max(box[3 + i], cmax[i])
+        center = [(box[i] + box[3 + i]) / 2 for i in range(3)]
+        half = [(box[3 + i] - box[i]) / 2 for i in range(3)]
+        t = {
+            "boundingVolume": {"box": [round(v, 3) for v in (
+                center + [half[0], 0, 0, 0, half[1], 0, 0, 0, half[2]])]},
+            "geometricError": geometric_error / (2 ** level),
+            "refine": "add",
+            "content": {"uri": f"tiles/{level}_{cx}_{cy}.b3dm"},
+        }
+        if children:
+            t["children"] = children
+        return t
+
+    roots = [tile_json(k) for k in sorted(nodes) if k[0] == 0]
+    root = {"asset": {"version": "1.0"},
+            "geometricError": geometric_error,
+            "root": {"boundingVolume": None, "geometricError": geometric_error,
+                     "refine": "add", "children": roots}}
+    # root bbox = union of level-0 children
+    mins = [math.inf] * 3
+    maxs = [-math.inf] * 3
+    for t in roots:
+        b = t["boundingVolume"]["box"]
+        for i in range(3):
+            mins[i] = min(mins[i], b[i] - b[3 + 4 * i])
+            maxs[i] = max(maxs[i], b[i] + b[3 + 4 * i])
+    center = [(mins[i] + maxs[i]) / 2 for i in range(3)]
+    half = [(maxs[i] - mins[i]) / 2 for i in range(3)]
+    root["root"]["boundingVolume"] = {"box": [round(v, 3) for v in (
+        center + [half[0], 0, 0, 0, half[1], 0, 0, 0, half[2]])]}
+    if transform is not None:
+        root["root"]["transform"] = [round(float(e), 3) for e in transform]
+    return root

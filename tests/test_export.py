@@ -1,0 +1,168 @@
+"""Vector export path: WKB parse/triangulate, b3dm codec goldens vs the
+reference fixtures, quadtree feature tiling, tileset assembly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from py3dtiles_spark.functions.wkb import (
+    make_wkb_multipolygon, parse_wkb_multipolygon, triangulate_polygon,
+    triangles_to_arrays, wkb_to_triangles)
+from py3dtiles_spark.sources.b3dm import (
+    b3dm_bytes, gltf_from_arrays, parse_b3dm)
+
+REF = os.environ.get("PY3DTILES_REF", "/root/reference")
+needs_ref = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "tests")),
+                               reason="reference fixtures unavailable")
+
+
+def _square(z=0.0, s=10.0, x0=0.0, y0=0.0):
+    return np.array([[x0, y0, z], [x0 + s, y0, z],
+                     [x0 + s, y0 + s, z], [x0, y0 + s, z]])
+
+
+def test_wkb_roundtrip():
+    poly = [_square()]
+    wkb = make_wkb_multipolygon([poly])
+    parsed = parse_wkb_multipolygon(wkb)
+    assert len(parsed) == 1 and len(parsed[0]) == 1
+    np.testing.assert_allclose(parsed[0][0], poly[0])
+
+
+def test_triangulate_square():
+    tris = triangulate_polygon([_square().astype(np.float32)])
+    assert len(tris) == 2                      # n - 2
+    area = sum(0.5 * abs(np.cross(t[1] - t[0], t[2] - t[0])[2]) for t in tris)
+    assert area == pytest.approx(100.0)
+
+
+def test_triangulate_with_hole():
+    outer = _square(s=10.0)
+    hole = _square(s=2.0, x0=4.0, y0=4.0)[::-1]    # CW hole
+    tris = triangulate_polygon([outer.astype(np.float32),
+                                hole.astype(np.float32)])
+    # bridged polygon: n + m + 2 vertices -> n + m triangles
+    assert len(tris) == 8
+    area = sum(0.5 * abs(np.cross(
+        (t[1] - t[0]).astype(np.float64),
+        (t[2] - t[0]).astype(np.float64))[2]) for t in tris)
+    assert area == pytest.approx(96.0)         # 100 - 4
+    # no triangle center inside the hole
+    for t in tris:
+        c = t.mean(axis=0)
+        assert not (4.0 < c[0] < 6.0 and 4.0 < c[1] < 6.0)
+
+
+def test_triangle_orientation_follows_normal():
+    tris = triangulate_polygon([_square().astype(np.float32)])
+    for t in tris:
+        n = np.cross(t[1] - t[0], t[2] - t[0])
+        assert n[2] > 0                        # outer ring is CCW -> +z
+
+
+@needs_ref
+def test_dragon_b3dm_read_golden():
+    """Reference test_b3dm.py:13-25 header + glTF JSON goldens."""
+    with open(os.path.join(REF, "tests", "dragon_low.b3dm"), "rb") as f:
+        d = parse_b3dm(f.read())
+    assert d["tile_byte_length"] == 47246
+    assert d["ft_json_byte_length"] == 20
+    assert d["ft_bin_byte_length"] == 0
+    assert d["bt_json_byte_length"] == 0
+    with open(os.path.join(REF, "tests", "dragon_low_gltf_header.json")) as f:
+        assert d["gltf_header"] == json.load(f)
+
+
+@needs_ref
+def test_building_wkb_to_b3dm_byte_golden():
+    """Reference test_b3dm.py:30-60: building.wkb -> b3dm of exactly 2952
+    bytes (same triangle count + byte layout as the reference encoder)."""
+    with open(os.path.join(REF, "tests", "building.wkb"), "rb") as f:
+        wkb = f.read()
+    tris = wkb_to_triangles(wkb)
+    pos, norm, bbox = triangles_to_arrays(tris)
+    box = [[-8.74748499994166, -7.35523200035095, -2.05385796777344],
+           [8.8036420000717, 7.29930999968201, 2.05386103222656]]
+    transform = np.array([
+        [1, 0, 0, 1842015.125], [0, 1, 0, 5177109.25],
+        [0, 0, 1, 247.87364196777344], [0, 0, 0, 1]],
+        dtype=float).flatten("F")
+    glb = gltf_from_arrays([{"position": pos, "normal": norm, "bbox": box}],
+                           transform, batched=True)
+    t = b3dm_bytes(glb)
+    assert len(t) == 2952
+    d = parse_b3dm(t)
+    assert d["tile_byte_length"] == 2952 and d["glb_version"] == 2
+
+
+@needs_ref
+def test_square_wkb_triangulation():
+    with open(os.path.join(REF, "tests", "square.wkb"), "rb") as f:
+        wkb = f.read()
+    tris = wkb_to_triangles(wkb)
+    assert len(tris) == 2
+
+
+def _features_df(spark, n=100, seed=2):
+    """n small square buildings scattered over an 8000x8000 area, with a
+    deterministic skew cluster so the quadtree recurses."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for gid in range(n):
+        if gid < 60:   # hot cluster inside one 2000-unit cell
+            x0, y0 = 100 + rng.uniform(0, 500), 100 + rng.uniform(0, 500)
+        else:
+            x0, y0 = rng.uniform(0, 8000), rng.uniform(0, 8000)
+        h = float(rng.uniform(3, 30))
+        poly = [np.array([[x0, y0, 0], [x0 + 10, y0, 0],
+                          [x0 + 10, y0 + 10, 0], [x0, y0 + 10, 0]])]
+        rows.append((gid, bytearray(make_wkb_multipolygon([poly])), h))
+    return spark.createDataFrame(rows, "geom_id long, wkb binary, weight double")
+
+
+def test_quadtree_export_end_to_end(spark):
+    from py3dtiles_spark.operators.export import (
+        assign_quadtree, build_b3dm_tiles, build_vector_tileset,
+        triangulate_features)
+    feats = triangulate_features(_features_df(spark))
+    assert feats.count() == 100
+    assert feats.agg({"n_tris": "sum"}).collect()[0][0] == 200
+
+    weights = _features_df(spark).select("geom_id", "weight")
+    assigned = assign_quadtree(feats.join(weights, "geom_id"),
+                               weight_col="weight")
+    rows = assigned.collect()
+    assert len(rows) == 100                        # nothing dropped
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r.node_id, []).append(r)
+    assert all(len(v) <= 20 for v in by_node.values())
+    assert max(r.level for r in rows) >= 1         # hot cluster recursed
+    # greedy rule: a level-1 feature's weight never exceeds the minimum
+    # level-0 weight of the parent cell
+    lvl0 = [r for r in rows if r.level == 0]
+    assert len(lvl0) <= 20 * len({(r.cell_x, r.cell_y) for r in lvl0})
+
+    tiles = build_b3dm_tiles(assigned).collect()
+    assert sum(t.n_features for t in tiles) == 100
+    for t in tiles:
+        d = parse_b3dm(bytes(t.b3dm))
+        assert d["bt_json_byte_length"] > 0        # batch table with ids
+        assert d["gltf_header"]["buffers"][0]["byteLength"] > 0
+
+    ts = build_vector_tileset(rows, transform=np.identity(4).flatten("F"))
+    assert ts["root"]["children"]
+    assert ts["root"]["refine"] == "add"
+    child = ts["root"]["children"][0]
+    assert child["content"]["uri"].endswith(".b3dm")
+    # geometricError halves per level
+    def geo_errors(t, depth=0):
+        yield depth, t["geometricError"]
+        for c in t.get("children", []):
+            yield from geo_errors(c, depth + 1)
+    for depth, err in geo_errors(ts["root"]["children"][0]):
+        assert err == pytest.approx(500.0 / 2 ** depth)

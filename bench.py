@@ -8,8 +8,9 @@ local[$SPARK_GRAFT_CPUS]:
   generated Common-Crawl-style pages table ($SPARK_GRAFT_BENCH_DOCS rows,
   default 300000, 30% skewed into 3 megacity cells)
 - tileset_emit: BVH rollup + tileset.json from the flagship's output
-- minhash_neardup / knn_top5 / pip_polygon / pricing_summary /
-  hourly_events over the driver testdata tables
+- neardup_pairs / knn_top5 / pip_polygon / pricing_summary /
+  hourly_events / tiling_octree / simhash_neardup / feature_quadtree /
+  vector_b3dm over the driver testdata tables
 """
 
 from __future__ import annotations
@@ -65,7 +66,8 @@ def main() -> None:
     # ---- operator headliners over driver testdata -----------------------
     qs = entrymod.queries()
     for name in ["neardup_pairs", "knn_top5", "pip_polygon",
-                 "pricing_summary", "hourly_events", "tiling_octree"]:
+                 "pricing_summary", "hourly_events", "tiling_octree",
+                 "simhash_neardup", "feature_quadtree", "vector_b3dm"]:
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

@@ -114,6 +114,14 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "merge":
+        if os.path.isdir(args.input):
+            # reference `py3dtiles merge <dir>`: scan */tileset.json,
+            # federate, write the master tileset + root overview pnts
+            from py3dtiles_spark.operators.merge import merge_with_overviews
+            doc = merge_with_overviews(spark, args.input, args.output)
+            print(json.dumps({"children": len(doc["root"].get("children", [])),
+                              "output": f"{args.output}/tileset.json"}))
+            return 0
         from py3dtiles_spark.operators.merge import merge_tilesets
         rows = spark.read.parquet(args.input).collect()
         doc = merge_tilesets(rows)

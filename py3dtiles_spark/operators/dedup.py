@@ -51,12 +51,21 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 16,
 
 def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
                       threshold: float = 0.5, shingle_n: int = 5,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact Jaccard verify.
 
     classic pipeline: shingle -> minhash -> band buckets -> bucket self-join
     -> verify true shingle-set Jaccard >= threshold. Returns (a, b, jaccard)
     with a < b.
+
+    max_bucket_size: skew guard for the 100 TB path — band buckets larger
+    than this (boilerplate/template text collapsing thousands of docs into
+    one bucket, whose self-join is quadratic) are dropped before the join.
+    Pairs in a dropped bucket are still found through any OTHER band they
+    share; only docs near-identical in EVERY band lose recall, and those
+    are exactly the boilerplate clusters better handled by exact_dedup
+    first. None = exact behavior (the DuckDB-oracle default).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
@@ -71,6 +80,13 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
             F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
             for b in range(bands)])).alias("e")
     ).select(id_col, "e.band_no", "e.bh")
+
+    if max_bucket_size is not None:
+        ok = (stacked.groupBy("band_no", "bh")
+              .agg(F.count("*").alias("_bsz"))
+              .filter(F.col("_bsz") <= max_bucket_size)
+              .drop("_bsz"))
+        stacked = stacked.join(ok, ["band_no", "bh"])
 
     a = stacked.select(F.col(id_col).alias("a"), "band_no", "bh")
     b = stacked.select(F.col(id_col).alias("b"), "band_no", "bh")
@@ -168,9 +184,14 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
-                             n_planes: int = 8, seed: int = 42) -> DataFrame:
+                             n_planes: int = 8, seed: int = 42,
+                             max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket (random hyperplanes), exact
-    pairwise cosine within buckets. Returns (a, b, cos) with a < b."""
+    pairwise cosine within buckets. Returns (a, b, cos) with a < b.
+
+    max_bucket_size: skew guard — buckets above the cap (embedding-space
+    hubs) are dropped so no single task holds a quadratic matmul; None
+    keeps exact bucket behavior."""
     from py3dtiles_spark.operators.knn import lsh_signature_expr
     from pyspark.sql.types import LongType, StructField, StructType
     dim = len(emb.select("embedding").first()[0])
@@ -178,6 +199,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                             + [StructField("bucket", LongType())])
     bucketed = emb.mapInPandas(lsh_signature_expr(dim, n_planes, seed),
                                schema=out_schema)
+    if max_bucket_size is not None:
+        ok = (bucketed.groupBy("bucket")
+              .agg(F.count("*").alias("_bsz"))
+              .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+        bucketed = bucketed.join(ok, "bucket")
 
     def pairwise(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

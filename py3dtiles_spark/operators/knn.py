@@ -135,30 +135,56 @@ def lsh_signature_expr(dim: int, n_planes: int, seed: int = 42):
 
 
 def ann_lsh_embeddings(emb: DataFrame, queries, k: int = 10,
-                       n_planes: int = 8, dim: int | None = None) -> DataFrame:
+                       n_planes: int = 8, dim: int | None = None,
+                       n_probes: int = 1, seed: int = 42) -> DataFrame:
     """Approximate kNN: restrict the exact scan to the query's LSH bucket.
-    At scale the bucket join is an equi-join shuffle of ~1/2^planes of the
-    table per query instead of a full scan."""
+    At scale the bucket join is an equi-join shuffle of ~probes/2^planes of
+    the table per query instead of a full scan.
+
+    Multi-probe: n_probes > 1 additionally scans the buckets whose
+    hyperplane margin is smallest (flip the least-confident bits) — the
+    standard recall repair for hyperplane LSH without extra tables. One
+    seed threads through both the table and query side so signatures can
+    never drift apart."""
     if isinstance(queries, DataFrame):
         q = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in queries.collect()]
     else:
         q = [(i, np.asarray(v, dtype=np.float64)) for i, v in queries]
     dim = dim or len(q[0][1])
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    def bucket_of(v):
-        bits = (planes @ v) > 0
-        return int(sum(1 << i for i, b in enumerate(bits) if b))
+    def probe_buckets(v) -> list[int]:
+        margins = planes @ v
+        base = int(sum(1 << i for i, b in enumerate(margins > 0) if b))
+        buckets = [base]
+        # flip bits in order of |margin| (least confident first)
+        for bit in np.argsort(np.abs(margins))[:max(0, n_probes - 1)]:
+            buckets.append(base ^ (1 << int(bit)))
+        return buckets
 
-    wanted = {bucket_of(v) for _, v in q}
+    wanted = sorted({b for _, v in q for b in probe_buckets(v)})
     from pyspark.sql.types import LongType, StructField, StructType
     out_schema = StructType(list(emb.schema.fields)
                             + [StructField("bucket", LongType())])
-    bucketed = emb.mapInPandas(lsh_signature_expr(dim, n_planes),
+    bucketed = emb.mapInPandas(lsh_signature_expr(dim, n_planes, seed),
                                schema=out_schema)
-    cand = bucketed.filter(F.col("bucket").isin(list(wanted)))
+    cand = bucketed.filter(F.col("bucket").isin(wanted))
     return knn_embeddings(cand.select("vec_id", "embedding"), q, k)
+
+
+def ann_recall(emb: DataFrame, queries, k: int = 10, n_planes: int = 8,
+               n_probes: int = 1, seed: int = 42) -> float:
+    """Measured recall@k of the LSH path vs the exact brute-force answer —
+    the acceptance metric for tuning n_planes/n_probes on a sample before
+    a full-table run."""
+    exact = {(r.q_id, r.n_id)
+             for r in knn_embeddings(emb, queries, k).collect()}
+    approx = {(r.q_id, r.n_id)
+              for r in ann_lsh_embeddings(emb, queries, k, n_planes,
+                                          n_probes=n_probes,
+                                          seed=seed).collect()}
+    return len(exact & approx) / max(1, len(exact))
 
 
 def lod_budget_select(points_with_tiles: DataFrame, budget: int,

@@ -13,10 +13,13 @@ selection so the result is reproducible, SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from py3dtiles_spark.functions.geometry import split_aabb
+from py3dtiles_spark.sources.pnts import PNTS_HEADER_LEN
 
 OVERVIEW_POINT_CAP = 50_000
 
@@ -105,6 +108,91 @@ def overview_sample(points: DataFrame, total: int,
     return points.filter(
         F.pmod(F.xxhash64("point_id", F.lit(seed)), F.lit(denom))
         < int(ratio * denom))
+
+
+def scan_tilesets(root_dir: str) -> list[dict]:
+    """S8 tileset-JSON scan (reference merger.py:59-101): walk root_dir for
+    */tileset.json, load each, compute the root-transform-applied AABB and
+    the root content's point count (pnts header only — O(1) bytes/file).
+
+    Tileset counts are dozens-to-thousands: a driver loop IS the right
+    plan; only overview point sampling (merge_with_overviews) touches
+    point-scale data distributed."""
+    import glob
+    import json
+    import struct as _struct
+
+    out = []
+    for path in sorted(glob.glob(os.path.join(root_dir, "*", "tileset.json"))):
+        with open(path) as f:
+            doc = json.load(f)
+        root = doc["root"]
+        box = root["boundingVolume"]["box"]
+        c = np.array(box[:3], dtype=np.float64)
+        h = np.array([box[3], box[7], box[11]], dtype=np.float64)
+        lo, hi = c - h, c + h
+        tf = root.get("transform")
+        if tf is not None:
+            m = np.array(tf, dtype=np.float64).reshape(4, 4).T
+            corners = np.array([[x, y, z, 1.0]
+                                for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for z in (lo[2], hi[2])])
+            world = corners @ m.T
+            lo = world[:, :3].min(axis=0)
+            hi = world[:, :3].max(axis=0)
+        count = 0
+        uri = root.get("content", {}).get("uri")
+        if uri:
+            pnts_path = os.path.join(os.path.dirname(path), uri)
+            if os.path.exists(pnts_path):
+                with open(pnts_path, "rb") as f:
+                    head = f.read(1024)
+                ftj = _struct.unpack("<I", head[12:16])[0]
+                import json as _json
+                ft = _json.loads(head[PNTS_HEADER_LEN:PNTS_HEADER_LEN + ftj])
+                count = ft.get("POINTS_LENGTH", 0)
+        out.append({"uri": os.path.relpath(path, root_dir),
+                    "aabb": np.array([lo, hi]),
+                    "center": (lo + hi) / 2.0,
+                    "point_count": count,
+                    "geometric_error": float(doc.get("geometricError", 0.0))})
+    return out
+
+
+def merge_with_overviews(spark, root_dir: str, out_dir: str,
+                         min_diag: float = 1.0) -> dict:
+    """Full merge (reference merger.py:156-232): federate all tilesets
+    under root_dir AND give each internal quadrant a pnts overview sampled
+    from the points below it (merger.py:201-227) — the sampling runs as one
+    distributed pnts scan + hash filter, written executor-side."""
+    from py3dtiles_spark.sources.pnts import pnts_scan, name_to_relpath
+
+    tilesets = scan_tilesets(root_dir)
+    doc = merge_tilesets(tilesets, min_diag=min_diag)
+    total = sum(t["point_count"] for t in tilesets)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # overview content for the merged root: one sampled pnts over all input
+    # root-content points (reference samples per internal node; the engine
+    # collapses to the root overview — deeper quadrants reference the
+    # original tilesets via content.uri and need no duplicate payload)
+    if total > 0:
+        pts = pnts_scan(spark, root_dir).withColumn(
+            "point_id", F.xxhash64("tile_id", "point_idx"))
+        sample = overview_sample(pts, total)
+        pdf = sample.select("x", "y", "z", "r", "g", "b").toPandas()
+        from py3dtiles_spark.sources.pnts import encode_pnts
+        buf = encode_pnts(pdf[["x", "y", "z"]].to_numpy(dtype=np.float32),
+                          pdf[["r", "g", "b"]].to_numpy(dtype=np.uint8))
+        with open(os.path.join(out_dir, "r.pnts"), "wb") as f:
+            f.write(buf)
+        doc["root"]["content"] = {"uri": "r.pnts"}
+
+    import json
+    with open(os.path.join(out_dir, "tileset.json"), "w") as f:
+        json.dump(doc, f)
+    return doc
 
 
 def merge_tilesets(tileset_rows, min_diag: float = 1.0) -> dict:

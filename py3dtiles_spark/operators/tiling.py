@@ -62,6 +62,7 @@ from py3dtiles_spark.functions.geometry import (
     GRID_INITIAL_CELL_COUNT,
     MIN_SPACING,
     SPLIT_THRESHOLD,
+    cell_keys_for_node,
     node_frame,
     sequential_accept,
     child_index_for_node,
@@ -95,8 +96,14 @@ class TilingConfig:
     #   max(in_kernel_threshold,
     #       min(local_hard_cap, level_points / (local_parallelism_factor *
     #                                           defaultParallelism)))
-    local_hard_cap: int = 2_000_000
-    local_parallelism_factor: int = 2
+    # factor 1 (one local task's rows ~= one core's fair share) measured
+    # strictly better than 2 at 1.6M docs/skew: level count 5 -> 2 (megacity
+    # nodes resolve their whole chain in-task via express descent instead of
+    # shuffling every level) and 8-core wall time -23%. The hard cap bounds
+    # any single local task (a megacity node as one task = a multi-second
+    # straggler that caps scaling); nodes above it fan out per cell.
+    local_hard_cap: int = 300_000
+    local_parallelism_factor: int = 1
     # parallelism used for the local-cutoff rule. None = the session's
     # defaultParallelism; set a fixed value to make the level plan
     # independent of the core count (identical plans across cluster sizes,
@@ -169,6 +176,67 @@ def _unified_kernel(cfg: TilingConfig, root_aabb, root_spacing):
                 "point_id": ids,
                 "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
                 "tile_id": tiles, "accepted": True})
+        if mode == "express":
+            # single-child descent for hot clustered nodes (megacities):
+            # this group holds the node's ENTIRE point set, and as long as
+            # every remaining point maps to ONE child octant, descendants
+            # of tid can receive points only from here — so the kernel may
+            # run the per-level accept AND descend in-task, level after
+            # level, until the cluster finally spreads over >1 child. At
+            # that point the remainder re-emits as pending and the normal
+            # cell/local fan-out parallelizes it. Collapses the reference's
+            # deep hot-cell chains (one shuffle round TOTAL instead of one
+            # per level) without a multi-second monolithic local task.
+            from py3dtiles_spark.functions.geometry import accept_mask_for_cells
+            pdf = base.sort_values("point_id", kind="stable").reset_index(drop=True)
+            ids = pdf["point_id"].to_numpy()
+            xyz = pdf[["x", "y", "z"]].to_numpy(dtype=np.float32)
+            n = len(pdf)
+            out_tiles = np.empty(n, dtype=object)
+            acc = np.zeros(n, dtype=bool)
+            tid = tile_id
+            live = np.arange(n)
+            while live.size:
+                frame = node_frame(tid, root_aabb, root_spacing)
+                spacing = frame.spacing
+                if (live.size < cfg.split_threshold
+                        or spacing <= MIN_SPACING * cfg.scale):
+                    out_tiles[live] = tid
+                    acc[live] = True
+                    break
+                if live.size <= cfg.in_kernel_threshold:
+                    out_tiles[live] = assign_subtree(
+                        ids[live], xyz[live], tid, root_aabb,
+                        root_spacing, cfg.scale, cfg.split_threshold)
+                    acc[live] = True
+                    break
+                pts = xyz[live]
+                corners = np.stack([pts.min(axis=0),
+                                    pts.max(axis=0)]).astype(np.float32)
+                cd = child_index_for_node(corners, frame)
+                single_child = cd[0] == cd[1]
+                if not single_child and tid != tile_id:
+                    out_tiles[live] = tid        # pending at spread depth
+                    break
+                keys = cell_keys_for_node(pts, frame)
+                mask = accept_mask_for_cells(pts, keys, spacing * spacing)
+                out_tiles[live[mask]] = tid
+                acc[live[mask]] = True
+                rej = live[~mask]
+                if rej.size == 0:
+                    break
+                if single_child:
+                    live = rej
+                    tid = tid + str(cd[0])
+                    continue
+                # first level already spreads: route per child and emit
+                digits = child_index_for_node(xyz[rej], frame)
+                out_tiles[rej] = [tid + str(d) for d in digits]
+                live = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({
+                "point_id": ids,
+                "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+                "tile_id": out_tiles, "accepted": acc})
         # cell mode: canonical-order accept within one grid cell
         pdf = base.sort_values("point_id", kind="stable").reset_index(drop=True)
         frame = node_frame(tile_id, root_aabb, root_spacing)
@@ -208,7 +276,25 @@ def _node_meta_rows(counts_rows, cfg: TilingConfig, root_aabb, root_spacing,
         spacing = root_spacing * (0.5 ** len(tid))
         if cnt < cfg.split_threshold or spacing <= spacing_floor:
             rows.append((tid, "leaf", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-        elif cnt <= local_cutoff:
+            continue
+        if cnt > cfg.in_kernel_threshold:
+            # clustered-node check: when the node's whole bbox maps into a
+            # SINGLE child octant (megacity cluster), the 'express' kernel
+            # can accept AND descend level-by-level in one task — one
+            # shuffle round for the entire hot chain — re-emitting at the
+            # depth where the cluster finally spreads, where cell/local
+            # fan-out parallelizes. Preferred over a monolithic local task
+            # for big clustered nodes (the local task would also pay the
+            # deep spread serially).
+            frame = node_frame(tid, root_aabb, root_spacing)
+            corners = np.array([[r["bx0"], r["by0"], r["bz0"]],
+                                [r["bx1"], r["by1"], r["bz1"]]],
+                               dtype=np.float32)
+            cd = child_index_for_node(corners, frame)
+            if cd[0] == cd[1]:
+                rows.append((tid, "express", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+                continue
+        if cnt <= local_cutoff:
             rows.append((tid, "local", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
         else:
             frame = node_frame(tid, root_aabb, root_spacing)
@@ -351,8 +437,16 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     for level in range(start_level, cfg.max_levels):
         lv_dir = os.path.join(ckpt, f"level={level}")
         t0 = time.time()
+        # per-node count + bbox in ONE agg pass: the bbox costs nothing
+        # extra (same shuffle) and lets the driver spot tight-cluster
+        # nodes (megacities) whose whole point set sits within one spacing
+        # — those get 'express' mode instead of a multi-second local task
         counts_rows = (pending.groupBy("tile_id")
-                       .agg(F.count("*").alias("cnt")).collect())
+                       .agg(F.count("*").alias("cnt"),
+                            F.min("x").alias("bx0"), F.min("y").alias("by0"),
+                            F.min("z").alias("bz0"),
+                            F.max("x").alias("bx1"), F.max("y").alias("by1"),
+                            F.max("z").alias("bz1")).collect())
         t_counts = time.time() - t0
         n_in = sum(r["cnt"] for r in counts_rows)
         if n_in == 0:
@@ -398,7 +492,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                 json.dump(lv_stats, f)
         counters["levels"].append(lv_stats)
 
-        if modes.get("cell", 0) == 0:
+        if modes.get("cell", 0) == 0 and modes.get("express", 0) == 0:
             # leaf/local groups fully resolve their points — nothing forwards
             complete = True
             break
@@ -416,8 +510,13 @@ def build_tiling(spark: SparkSession, points: DataFrame,
         assignments = spark.createDataFrame([], ASSIGN_SCHEMA)
         if level_dfs:
             from functools import reduce
-            assignments = (reduce(DataFrame.unionByName, level_dfs)
-                           .filter("accepted").select("point_id", "tile_id"))
+            # filter+project each cached level BEFORE the union: unioning
+            # the raw persisted frames defeats Spark's cache lookup for one
+            # branch (the level's Python kernel silently re-executes);
+            # narrowing per-branch keeps every InMemoryTableScan
+            assignments = reduce(DataFrame.unionByName, [
+                df.filter("accepted").select("point_id", "tile_id")
+                for df in level_dfs])
     else:
         # explicit per-level paths (not a level=* glob): stale dirs from
         # other runs can never leak in, and Spark skips the streaming-

@@ -41,8 +41,12 @@ def tile_pages(spark: SparkSession, pages: DataFrame,
                cfg: TilingConfig | None = None, skew: bool = False,
                rollup: bool = True, build_json: bool = True) -> PipelineResult:
     geo = geocode(pages, skew=skew)
+    # unique surrogate key when present (required at 10^12 rows — a 64-bit
+    # url hash has ~30k expected birthday collisions there)
+    pid = (F.col("page_id").cast("long") if "page_id" in pages.columns
+           else F.xxhash64("url"))
     points = geo.select(
-        F.xxhash64("url").alias("point_id"),
+        pid.alias("point_id"),
         F.col("x").cast("float"), F.col("y").cast("float"),
         F.col("z").cast("float"))
 
@@ -58,7 +62,7 @@ def tile_pages(spark: SparkSession, pages: DataFrame,
         docs = build_tileset_json(tiles.collect(), tiling.root_aabb,
                                   tiling.root_spacing)
 
-    pages_tiled = geo.withColumn("point_id", F.xxhash64("url")).join(
+    pages_tiled = geo.withColumn("point_id", pid).join(
         assigned.select("point_id", "tile_id"), "point_id")
     return PipelineResult(pages_tiled=pages_tiled, tiles=tiles,
                           tileset_docs=docs, tiling=tiling)

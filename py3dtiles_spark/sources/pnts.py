@@ -100,6 +100,57 @@ def tiles_to_pnts_df(points_with_tiles: DataFrame,
         pack, schema="tile_id string, points_length long, pnts binary")
 
 
+def relpath_to_name(path: str) -> str:
+    """Inverse of name_to_relpath: '.../06/r63.pnts' -> '0663'."""
+    parts = path.replace("\\", "/").split("/")
+    tail = parts[-1]
+    assert tail.startswith("r") and tail.endswith(".pnts"), path
+    name = tail[1:-len(".pnts")]
+    # directory levels before the file are 8-char chunks of the prefix;
+    # walk back while components look like octant chunks
+    prefix = []
+    for comp in parts[:-1][::-1]:
+        if comp and len(comp) <= 8 and all(c in "01234567" for c in comp):
+            prefix.append(comp)
+        else:
+            break
+    return "".join(prefix[::-1]) + name
+
+
+def pnts_scan(spark, root_dir: str) -> DataFrame:
+    """S5: distributed pnts reader — spark.read.format('binaryFile') over
+    r*.pnts + an Arrow-batched decode (reference TileContentReader,
+    utils.py:15-32 + feature_table.py:208-265). One output row per point:
+    (tile_id, point_idx, x, y, z, r, g, b)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.pnts")
+             .option("recursiveFileLookup", "true")
+             .load(root_dir)
+             .select("path", "content"))
+
+    def decode(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                xyz, rgb, _ = decode_pnts(bytes(content))
+                n = len(xyz)
+                if rgb is None:
+                    rgb = np.zeros((n, 3), dtype=np.uint8)
+                yield pd.DataFrame({
+                    "tile_id": relpath_to_name(path),
+                    "point_idx": np.arange(n, dtype=np.int64),
+                    "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+                    "r": rgb[:, 0].astype(np.int16),
+                    "g": rgb[:, 1].astype(np.int16),
+                    "b": rgb[:, 2].astype(np.int16)})
+
+    return files.mapInPandas(
+        decode, schema="tile_id string, point_idx long, x float, y float, "
+                       "z float, r smallint, g smallint, b smallint")
+
+
 def write_pnts_files(pnts_df: DataFrame, out_dir: str) -> int:
     """Materialize r<name>.pnts files with reference sharding.
 

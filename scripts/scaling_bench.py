@@ -47,14 +47,16 @@ def one_run():
 
 # warm run: faults the JVM/Python allocation high-water marks, fills the
 # netty/Arrow buffer pools, compiles codegen — the steady state a
-# long-lived executor runs at. Measured = best of N_RUNS warm repeats
-# (this sandbox kernel's serialized page-fault path makes run-to-run
-# variance huge; best-of captures capability, stragglers are VM noise).
+# long-lived executor runs at. Measured = MEDIAN of N_RUNS warm repeats:
+# this sandbox kernel's serialized page-fault path makes run-to-run
+# variance 2-3x in BOTH directions, so min() is an unstable ratio
+# estimator; the median is robust to lucky and unlucky runs alike.
+import statistics
 one_run()
-n_runs = int(_os.environ.get("SPARK_GRAFT_RUNS", "3"))
-best = min(one_run()[0] for _ in range(n_runs))
-print(json.dumps({"cpus": cpus, "seconds": round(best, 3),
-                  "docs_per_sec": round(n_docs / best, 1)}))
+n_runs = int(_os.environ.get("SPARK_GRAFT_RUNS", "5"))
+med = statistics.median(one_run()[0] for _ in range(n_runs))
+print(json.dumps({"cpus": cpus, "seconds": round(med, 3),
+                  "docs_per_sec": round(n_docs / med, 1), "runs": n_runs}))
 spark.stop()
 """
 

@@ -113,3 +113,28 @@ def test_embedding_near_dup_pairs(spark):
     pairs = {(r.a, r.b) for r in
              embedding_near_dup_pairs(df, threshold=0.999, n_planes=4).collect()}
     assert (4, 10) in pairs and (9, 20) in pairs
+
+
+def test_ann_multiprobe_recall(spark):
+    from py3dtiles_spark.operators.knn import ann_recall
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((300, 16))
+    df = spark.createDataFrame(
+        [(int(i), m[i].astype(np.float32).tolist()) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    qs = [(int(i), m[i]) for i in (1, 5, 9)]
+    r1 = ann_recall(df, qs, k=5, n_planes=4, n_probes=1)
+    r4 = ann_recall(df, qs, k=5, n_planes=4, n_probes=4)
+    assert 0.0 <= r1 <= 1.0
+    assert r4 >= r1                 # probing can only widen the scan
+    assert r4 >= 0.5                # 4 probes over 16 buckets: decent recall
+
+
+def test_minhash_bucket_cap_keeps_multiband_pairs(spark):
+    docs = _docs(spark)
+    capped = minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.9,
+                               max_bucket_size=50)
+    full = minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.9)
+    got_c = {(r.a, r.b) for r in capped.collect()}
+    got_f = {(r.a, r.b) for r in full.collect()}
+    assert got_c == got_f           # cap far above bucket sizes: no change

@@ -96,3 +96,27 @@ def test_resume_from_checkpoint(spark, tmp_path):
     got = {r.point_id: r.tile_id for r in res.assignments.collect()}
     assert all(got[int(i)] == t for i, t in zip(ids, expected))
     cleanup_checkpoint(res)
+
+
+def test_express_mode_matches_replay(spark, tmp_path):
+    """A megacity-style node far above the local cutoff goes through the
+    'express' kernel (chain + spread re-emit) — must equal the replay."""
+    rng = np.random.default_rng(11)
+    n = 30_000
+    xyz = np.empty((n, 3), dtype=np.float32)
+    xyz[:, 0] = rng.uniform(0, 100, n)
+    xyz[:, 1] = rng.uniform(0, 100, n)
+    xyz[:, 2] = rng.uniform(0, 1, n)
+    hot = rng.random(n) < 0.6
+    xyz[hot, 0] = 20.0 + rng.uniform(-0.01, 0.01, hot.sum())
+    xyz[hot, 1] = 30.0 + rng.uniform(-0.01, 0.01, hot.sum())
+    ids = np.arange(n, dtype=np.int64)
+    expected, _, _ = replay_tiling(ids, xyz, split_threshold=500)
+    cfg = TilingConfig(split_threshold=500, in_kernel_threshold=1000,
+                       local_hard_cap=2000,
+                       checkpoint_dir=str(tmp_path / "exp"))
+    got, res = _engine_assignments(spark, ids, xyz, cfg)
+    modes = [m for s in res.counters["levels"] for m in s["modes"]]
+    assert "express" in modes            # the hot cluster took the new path
+    assert all(got[int(i)] == t for i, t in zip(ids, expected))
+    cleanup_checkpoint(res)

@@ -497,8 +497,7 @@ def q_vector_b3dm(spark, sf_dir):
                                 "weight": pdf["n_chars"].astype(float)})
 
     geoms = g.mapInPandas(mk, "geom_id long, wkb binary, weight double")
-    feats = triangulate_features(geoms).join(
-        geoms.select("geom_id", "weight"), "geom_id")
+    feats = triangulate_features(geoms)     # weight passes through
     assigned = assign_quadtree(feats, max_tile_size=45.0,
                                features_per_tile=20, weight_col="weight",
                                max_levels=3)

@@ -93,12 +93,9 @@ def main(argv=None) -> int:
                      .option("pathGlobFilter", "*.wkb").load(args.wkb_dir)
                      .select(F.xxhash64("path").alias("geom_id"),
                              F.col("content").alias("wkb")))
-        feats = triangulate_features(geoms)
-        if "weight" in geoms.columns:
-            feats = feats.join(geoms.select("geom_id", "weight"), "geom_id")
-            assigned = assign_quadtree(feats, weight_col="weight")
-        else:
-            assigned = assign_quadtree(feats)
+        feats = triangulate_features(geoms)   # extra cols (weight) pass through
+        assigned = assign_quadtree(
+            feats, weight_col="weight" if "weight" in geoms.columns else None)
         tiles_dir = os.path.join(args.output, "tiles")
         os.makedirs(tiles_dir, exist_ok=True)
         tile_rows = build_b3dm_tiles(assigned).collect()

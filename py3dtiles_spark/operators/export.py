@@ -37,27 +37,36 @@ FEATURES_PER_TILE = 20      # export.py:113
 
 def triangulate_features(geoms: DataFrame, wkb_col: str = "wkb",
                          id_col: str = "geom_id") -> DataFrame:
-    """(geom_id, wkb) -> (geom_id, positions binary, normals binary,
-    min_x..max_z, n_tris). Arrow-batched; the only Python stage."""
+    """(geom_id, wkb[, extras...]) -> (geom_id, positions binary, normals
+    binary, min_x..max_z, n_tris[, extras...]). Arrow-batched; the only
+    Python stage. Extra input columns (e.g. weight) pass through so the
+    expensive WKB decode never has to be joined back to (and therefore
+    re-executed for) its own inputs."""
     from py3dtiles_spark.functions.wkb import (
         triangles_to_arrays, wkb_to_triangles)
+
+    extras = [c for c, _ in geoms.dtypes if c not in (wkb_col, id_col)]
+    extra_types = dict(geoms.dtypes)
 
     def run(batches):
         for pdf in batches:
             rows = []
-            for gid, wkb in zip(pdf[id_col], pdf[wkb_col]):
-                tris = wkb_to_triangles(bytes(wkb))
+            for t in pdf.itertuples(index=False):
+                tris = wkb_to_triangles(bytes(getattr(t, wkb_col)))
                 pos, norm, bbox = triangles_to_arrays(tris)
-                rows.append((gid, pos, norm,
+                rows.append((getattr(t, id_col), pos, norm,
                              bbox[0][0], bbox[0][1], bbox[0][2],
-                             bbox[1][0], bbox[1][1], bbox[1][2], len(tris)))
+                             bbox[1][0], bbox[1][1], bbox[1][2], len(tris))
+                            + tuple(getattr(t, c) for c in extras))
             yield pd.DataFrame(rows, columns=[
                 id_col, "positions", "normals", "min_x", "min_y", "min_z",
-                "max_x", "max_y", "max_z", "n_tris"])
+                "max_x", "max_y", "max_z", "n_tris"] + extras)
 
     schema = (f"{id_col} long, positions binary, normals binary, "
               "min_x double, min_y double, min_z double, "
               "max_x double, max_y double, max_z double, n_tris long")
+    for c in extras:
+        schema += f", {c} {extra_types[c]}"
     return geoms.mapInPandas(run, schema=schema)
 
 

@@ -48,6 +48,71 @@ def windowed_cell_counts(assigned_stream: DataFrame,
                     "cell_id", "docs", "langs"))
 
 
+def sessionized_cell_activity(assigned_stream: DataFrame,
+                              gap: str = "30 minutes",
+                              watermark: str = "60 minutes") -> DataFrame:
+    """Custom stateful streaming operator: per-cell ACTIVITY SESSIONS via
+    applyInPandasWithState — a crawl burst on one spatial cell opens a
+    session that stays alive while records keep arriving within `gap`,
+    then emits (cell_id, session_start, session_end, docs) on timeout.
+
+    This is the applyInPandasWithState shape the engine uses for any
+    operator windowed aggregation can't express (session windows keyed by
+    spatial cell); state is one (start, last_ts, count) triple per cell.
+    Event-time timeout: a session closes deterministically when the
+    WATERMARK passes last_ts + gap (no wall-clock dependence — replayable).
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_sec = {"minutes": 60, "minute": 60, "hours": 3600, "hour": 3600,
+               "seconds": 1, "second": 1}
+    num, unit = gap.split()
+    gap_ms = int(float(num) * gap_sec[unit] * 1000)
+
+    out_schema = ("cell_id long, session_start timestamp, "
+                  "session_end timestamp, docs long")
+    state_schema = "start long, last long, docs long"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, docs = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "cell_id": [key[0]],
+                "session_start": [dt.datetime.utcfromtimestamp(start / 1000)],
+                "session_end": [dt.datetime.utcfromtimestamp(last / 1000)],
+                "docs": [docs]})
+            return
+        ts_min = None
+        ts_max = None
+        n = 0
+        for pdf in pdfs:
+            col = pd.to_datetime(pdf["warc_ts"])
+            ts_min = col.min() if ts_min is None else min(ts_min, col.min())
+            ts_max = col.max() if ts_max is None else max(ts_max, col.max())
+            n += len(pdf)
+        lo = int(ts_min.value // 10**6)
+        hi = int(ts_max.value // 10**6)
+        if state.exists:
+            start, last, docs = state.get
+            start, last, docs = min(start, lo), max(last, hi), docs + n
+        else:
+            start, last, docs = lo, hi, n
+        state.update((start, last, docs))
+        state.setTimeoutTimestamp(last + gap_ms)
+        return iter(())
+
+    return (assigned_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy("cell_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
 def run_stream_to_memory(spark: SparkSession, src_path: str,
                          query_name: str = "cell_counts",
                          cell_deg: float = 5.0) -> "DataFrame":

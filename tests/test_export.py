@@ -128,13 +128,12 @@ def test_quadtree_export_end_to_end(spark):
     from py3dtiles_spark.operators.export import (
         assign_quadtree, build_b3dm_tiles, build_vector_tileset,
         triangulate_features)
-    feats = triangulate_features(_features_df(spark))
+    feats = triangulate_features(_features_df(spark))   # weight passes through
     assert feats.count() == 100
     assert feats.agg({"n_tris": "sum"}).collect()[0][0] == 200
+    assert "weight" in feats.columns
 
-    weights = _features_df(spark).select("geom_id", "weight")
-    assigned = assign_quadtree(feats.join(weights, "geom_id"),
-                               weight_col="weight")
+    assigned = assign_quadtree(feats, weight_col="weight")
     rows = assigned.collect()
     assert len(rows) == 100                        # nothing dropped
     by_node = {}

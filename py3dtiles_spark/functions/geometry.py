@@ -285,6 +285,11 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
     return accept
 
 
+_NEIGHBOR_OFFSETS = sorted(
+    ((dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)),
+    key=lambda o: abs(o[0]) + abs(o[1]) + abs(o[2]))
+
 _BIN_OFF = 1 << 20
 _BIN_M = 1 << 21
 
@@ -301,35 +306,55 @@ def _not_near_accepted(pts, keys, cand_idx, acc_keys, acc_idx, sq):
     left-to-right) — IDENTICAL IEEE ops to the scalar bucket loop and the
     reference kernel, so a boundary pair's verdict never depends on which
     path evaluated it."""
+    # few-accepted fast path (the megacity shape: a huge candidate head vs
+    # a handful of accepted points): one blocked distance matrix beats 27
+    # bin probes. Same float32 elementwise test, block-row-reduced. Small
+    # blocks keep temporaries cache-sized; gate on a genuinely small
+    # accepted set so dense-uniform cells stay on the bin path.
+    if 0 < acc_idx.size <= 1024:
+        alive = np.ones(cand_idx.size, dtype=bool)
+        ap = pts[acc_idx]
+        cp = pts[cand_idx]
+        step = max(256, (1 << 18) // acc_idx.size)
+        for s in range(0, cand_idx.size, step):
+            blk = cp[s:s + step]
+            d = blk[:, None, :] - ap[None, :, :]
+            dist = (d[:, :, 0] * d[:, :, 0] + d[:, :, 1] * d[:, :, 1]
+                    + d[:, :, 2] * d[:, :, 2])
+            alive[s:s + step] = ~(dist < sq).any(axis=1)
+        return alive
+
     order = np.argsort(acc_keys, kind="stable")
     ak = acc_keys[order]
     ai = acc_idx[order]
     alive = np.ones(cand_idx.size, dtype=bool)
     ck = keys[cand_idx]
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off = (dx * _BIN_M + dy) * _BIN_M + dz
-                probe = ck[alive] + off
-                live_pos = np.flatnonzero(alive)
-                lo = np.searchsorted(ak, probe, "left")
-                hi = np.searchsorted(ak, probe, "right")
-                cnt = hi - lo
-                hitp = cnt > 0
-                if not hitp.any():
-                    continue
-                # expand ragged matches into flat pair lists
-                c_sel = live_pos[hitp]
-                lo_h, cnt_h = lo[hitp], cnt[hitp]
-                pair_c = np.repeat(c_sel, cnt_h)
-                pair_a = ai[_ragged_ranges(lo_h, cnt_h)]
-                cp = pts[cand_idx[pair_c]]
-                ap = pts[pair_a]
-                d = cp - ap
-                near = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
-                        + d[:, 2] * d[:, 2]) < sq
-                if near.any():
-                    alive[np.unique(pair_c[near])] = False
+    # probe the OWN bin first, then faces, edges, corners: a candidate's
+    # rejector usually shares its bin, so the nearest offsets kill most of
+    # `alive` before the remaining 26 probes run (order doesn't change the
+    # result — rejection is an OR over offsets — only the work)
+    for dx, dy, dz in _NEIGHBOR_OFFSETS:
+        off = (dx * _BIN_M + dy) * _BIN_M + dz
+        probe = ck[alive] + off
+        live_pos = np.flatnonzero(alive)
+        lo = np.searchsorted(ak, probe, "left")
+        hi = np.searchsorted(ak, probe, "right")
+        cnt = hi - lo
+        hitp = cnt > 0
+        if not hitp.any():
+            continue
+        # expand ragged matches into flat pair lists
+        c_sel = live_pos[hitp]
+        lo_h, cnt_h = lo[hitp], cnt[hitp]
+        pair_c = np.repeat(c_sel, cnt_h)
+        pair_a = ai[_ragged_ranges(lo_h, cnt_h)]
+        cp = pts[cand_idx[pair_c]]
+        ap = pts[pair_a]
+        d = cp - ap
+        near = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+                + d[:, 2] * d[:, 2]) < sq
+        if near.any():
+            alive[np.unique(pair_c[near])] = False
     return alive
 
 

@@ -31,11 +31,15 @@ def union_aabb(tilesets: list[dict]) -> np.ndarray:
 
 
 def build_merge_tree(tilesets: list[dict], aabb: np.ndarray | None = None,
-                     min_diag: float = 1.0) -> dict:
+                     min_diag: float = 1.0, _path: str = "") -> dict:
     """Recursive quadtree federation. Each tileset dict needs:
     {"uri": str, "aabb": (2,3) array, "center": (3,) array,
      "point_count": int, "geometric_error": float}.
     Returns the merged tileset root node (driver-side JSON-able dict).
+
+    Every internal node carries `_node_path` (quadrant-digit string) and
+    `_member_uris` (the input tilesets under it) so merge_with_overviews
+    can attach an LOD overview pnts per internal node (merger.py:201-227).
     """
     if aabb is None:
         aabb = union_aabb(tilesets)
@@ -48,11 +52,13 @@ def build_merge_tree(tilesets: list[dict], aabb: np.ndarray | None = None,
             "content": {"uri": t["uri"]},
         }
         if len(tilesets) > 1:
-            node["children"] = [build_merge_tree([x], x["aabb"], min_diag)
+            node["children"] = [build_merge_tree([x], x["aabb"], min_diag,
+                                                 _path + "x")
                                 for x in tilesets[1:]]
         return node
 
     # forced-quadtree split with child indices 0/2/4/6 (merger.py:104-110)
+    members = [t["uri"] for t in tilesets]
     children = []
     child_error = 0.0
     for idx in (0, 2, 4, 6):
@@ -62,7 +68,7 @@ def build_merge_tree(tilesets: list[dict], aabb: np.ndarray | None = None,
                       and sub[0][1] <= t["center"][1] <= sub[1][1])]
         if not inside:
             continue
-        child = build_merge_tree(inside, sub, min_diag)
+        child = build_merge_tree(inside, sub, min_diag, _path + str(idx))
         children.append(child)
         child_error += child["geometricError"]
         tilesets = [t for t in tilesets if t not in inside]
@@ -74,6 +80,8 @@ def build_merge_tree(tilesets: list[dict], aabb: np.ndarray | None = None,
         "boundingVolume": _box(node_aabb),
         "refine": "ADD",
         "children": children,
+        "_node_path": _path,
+        "_member_uris": members,
     }
 
 
@@ -163,33 +171,64 @@ def scan_tilesets(root_dir: str) -> list[dict]:
 def merge_with_overviews(spark, root_dir: str, out_dir: str,
                          min_diag: float = 1.0) -> dict:
     """Full merge (reference merger.py:156-232): federate all tilesets
-    under root_dir AND give each internal quadrant a pnts overview sampled
-    from the points below it (merger.py:201-227) — the sampling runs as one
-    distributed pnts scan + hash filter, written executor-side."""
-    from py3dtiles_spark.sources.pnts import pnts_scan, name_to_relpath
+    under root_dir AND give EVERY internal quadrant a pnts overview sampled
+    from the points of the tilesets below it (merger.py:201-227).
+
+    One distributed pnts scan covers all inputs; each internal node's
+    overview is a deterministic hash-ratio sample of its members' points
+    (ratio = min(0.5, 50000/member_total)), grouped and written in one
+    executor-side pass — no per-node scan, no driver point loops."""
+    import json
+
+    from py3dtiles_spark.sources.pnts import (
+        pnts_scan, tiles_to_pnts_df, write_pnts_files)
 
     tilesets = scan_tilesets(root_dir)
     doc = merge_tilesets(tilesets, min_diag=min_diag)
-    total = sum(t["point_count"] for t in tilesets)
     os.makedirs(out_dir, exist_ok=True)
 
-    # overview content for the merged root: one sampled pnts over all input
-    # root-content points (reference samples per internal node; the engine
-    # collapses to the root overview — deeper quadrants reference the
-    # original tilesets via content.uri and need no duplicate payload)
-    if total > 0:
-        pts = pnts_scan(spark, root_dir).withColumn(
-            "point_id", F.xxhash64("tile_id", "point_idx"))
-        sample = overview_sample(pts, total)
-        pdf = sample.select("x", "y", "z", "r", "g", "b").toPandas()
-        from py3dtiles_spark.sources.pnts import encode_pnts
-        buf = encode_pnts(pdf[["x", "y", "z"]].to_numpy(dtype=np.float32),
-                          pdf[["r", "g", "b"]].to_numpy(dtype=np.uint8))
-        with open(os.path.join(out_dir, "r.pnts"), "wb") as f:
-            f.write(buf)
-        doc["root"]["content"] = {"uri": "r.pnts"}
+    # collect internal nodes (path -> member uris) and per-node totals
+    count_by_uri = {t["uri"]: t["point_count"] for t in tilesets}
+    nodes = []
 
-    import json
+    def walk(node):
+        if "_node_path" in node:
+            path = node.pop("_node_path")
+            members = node.pop("_member_uris")
+            total = sum(count_by_uri[u] for u in members)
+            if total > 0:
+                uri = f"r{path}.pnts" if path else "r.pnts"
+                node["content"] = {"uri": uri}
+                nodes.append((path, members, total))
+        for c in node.get("children", []):
+            walk(c)
+
+    walk(doc["root"])
+
+    if nodes:
+        # one lazy scan per input tileset dir; the per-node unions below
+        # compose them into ONE Spark job at write time
+        from pyspark.sql import DataFrame as _DF
+        from functools import reduce as _reduce
+        per_dir = {}
+        for t in tilesets:
+            d = os.path.dirname(os.path.join(root_dir, t["uri"]))
+            per_dir[t["uri"]] = pnts_scan(spark, d).withColumn(
+                "point_id", F.xxhash64(F.lit(t["uri"]), "tile_id", "point_idx"))
+        frames = []
+        for path, members, total in nodes:
+            ratio_src = _reduce(_DF.unionByName,
+                                [per_dir[u] for u in members])
+            samp = overview_sample(ratio_src, total).withColumn(
+                "tile_id", F.lit(path))
+            frames.append(samp)
+        all_overviews = _reduce(_DF.unionByName, frames)
+        write_pnts_files(
+            tiles_to_pnts_df(all_overviews.select(
+                "point_id", "x", "y", "z", "r", "g", "b", "tile_id"),
+                include_rgb=True),
+            out_dir)
+
     with open(os.path.join(out_dir, "tileset.json"), "w") as f:
         json.dump(doc, f)
     return doc

@@ -139,8 +139,11 @@ def simhash_values(docs: DataFrame, id_col: str = "doc_id",
     sums -> bit reassembly). Zero Python in the pipeline; map-side partial
     aggregation collapses the exploded tokens back to one row per doc
     before the shuffle, so the network cost is |docs| rows."""
-    toks = (docs.select(id_col, F.explode(F.split(F.col(text_col), " "))
-                        .alias("tok"))
+    # F.split("", " ") yields [""]: drop empty tokens so empty-text docs
+    # fall through to the coalesce(0) branch below, same as NULL text
+    toks = (docs.select(id_col, F.explode(F.filter(
+                F.split(F.col(text_col), " "),
+                lambda t: t != F.lit(""))).alias("tok"))
             .withColumn("h", F.xxhash64("tok")))
     # vote_i = sum over tokens of (bit_i(h) ? +1 : -1)
     aggs = [F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)

@@ -161,6 +161,7 @@ def scan_tilesets(root_dir: str) -> list[dict]:
                 ft = _json.loads(head[PNTS_HEADER_LEN:PNTS_HEADER_LEN + ftj])
                 count = ft.get("POINTS_LENGTH", 0)
         out.append({"uri": os.path.relpath(path, root_dir),
+                    "transform": (m if tf is not None else None),
                     "aabb": np.array([lo, hi]),
                     "center": (lo + hi) / 2.0,
                     "point_count": count,
@@ -213,8 +214,25 @@ def merge_with_overviews(spark, root_dir: str, out_dir: str,
         per_dir = {}
         for t in tilesets:
             d = os.path.dirname(os.path.join(root_dir, t["uri"]))
-            per_dir[t["uri"]] = pnts_scan(spark, d).withColumn(
+            df = pnts_scan(spark, d).withColumn(
                 "point_id", F.xxhash64(F.lit(t["uri"]), "tile_id", "point_idx"))
+            # apply the tileset's root transform so overview points live in
+            # the same WORLD frame as the merged quadrant boxes (the
+            # reference applies inv_base @ tile_transform, merger.py:211
+            # _get_tile_points; our base transform is identity because
+            # scan_tilesets already world-frames every AABB). withColumns
+            # is one projection, so y/z exprs see the ORIGINAL x.
+            if t.get("transform") is not None:
+                m = np.asarray(t["transform"], dtype=np.float64)
+
+                def _ax(i, _m=m):
+                    return (F.lit(float(_m[i, 0])) * F.col("x").cast("double")
+                            + F.lit(float(_m[i, 1])) * F.col("y").cast("double")
+                            + F.lit(float(_m[i, 2])) * F.col("z").cast("double")
+                            + F.lit(float(_m[i, 3]))).cast("float")
+
+                df = df.withColumns({"x": _ax(0), "y": _ax(1), "z": _ax(2)})
+            per_dir[t["uri"]] = df
         frames = []
         for path, members, total in nodes:
             ratio_src = _reduce(_DF.unionByName,

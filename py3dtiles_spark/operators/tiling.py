@@ -329,15 +329,19 @@ def _root_route_expr(root_aabb, root_spacing):
 
 
 def _native_cell_key(cfg: TilingConfig):
-    """group_key as a pure float32 column expression (reference xyz_to_key,
-    distance.py:24-32): clamped per-axis index, packed y<<s | z<<2s."""
+    """group_key as a native column expression mirroring the reference
+    xyz_to_key promotion exactly (distance.py:24-32): the DOUBLE scale
+    column (int32 cell_count * float32 inv -> f64) times the FLOAT
+    (xyz - aabb_min) difference widened to double (exact), truncated to
+    long and clamped, packed y<<s | z<<2s. Keeping the product in f64
+    matches the numpy/numba kernel bit-for-bit on boundary points where a
+    float32 product would round 0.99999997 up to 1.0."""
     c = cfg.cell_count
     shift = int(c - 1).bit_length()
 
     def axis(col, mn, sc):
-        prod = (F.col(sc).cast("float")
-                * (F.col(col).cast("float") - F.col(mn).cast("float"))
-                .cast("float")).cast("float")
+        diff = (F.col(col).cast("float") - F.col(mn).cast("float")).cast("float")
+        prod = F.col(sc) * diff.cast("double")
         return F.least(F.greatest(prod.cast("long"), F.lit(0)), F.lit(c - 1))
 
     key = (axis("x", "mnx", "sx")

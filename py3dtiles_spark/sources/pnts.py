@@ -51,9 +51,13 @@ def encode_pnts(xyz: np.ndarray, rgb: np.ndarray | None = None,
     return header + ft_json + body
 
 
-def decode_pnts(buf: bytes):
-    """Inverse of encode_pnts. Returns (xyz f32 (N,3), rgb u8 (N,3) | None,
-    feature_table_header dict)."""
+def decode_pnts(buf: bytes, apply_rtc: bool = True):
+    """Inverse of encode_pnts, extended to the full spec position/color
+    semantics the reference reads (feature_table.py:178-182,232-265):
+    POSITION (f32) or POSITION_QUANTIZED (u16 dequantized by
+    QUANTIZED_VOLUME_SCALE/OFFSET), RGB or RGBA (alpha dropped), and
+    RTC_CENTER added to positions (in f64, then narrowed) when apply_rtc.
+    Returns (xyz f32 (N,3), rgb u8 (N,3) | None, feature_table dict)."""
     magic, version, total, ftj, ftb, btj, btb = struct.unpack(
         "<4sIIIIII", buf[:PNTS_HEADER_LEN])
     assert magic == _MAGIC, magic
@@ -62,13 +66,29 @@ def decode_pnts(buf: bytes):
     ft = json.loads(buf[PNTS_HEADER_LEN:PNTS_HEADER_LEN + ftj])
     body = buf[PNTS_HEADER_LEN + ftj:PNTS_HEADER_LEN + ftj + ftb]
     n = ft["POINTS_LENGTH"]
-    off = ft["POSITION"]["byteOffset"]
-    xyz = np.frombuffer(body, dtype=np.float32, count=3 * n,
-                        offset=off).reshape(n, 3)
+    if "POSITION" in ft:
+        xyz = np.frombuffer(body, dtype=np.float32, count=3 * n,
+                            offset=ft["POSITION"]["byteOffset"]).reshape(n, 3)
+    elif "POSITION_QUANTIZED" in ft:
+        q = np.frombuffer(
+            body, dtype=np.uint16, count=3 * n,
+            offset=ft["POSITION_QUANTIZED"]["byteOffset"]).reshape(n, 3)
+        scale = np.asarray(ft["QUANTIZED_VOLUME_SCALE"], dtype=np.float32)
+        qoff = np.asarray(ft["QUANTIZED_VOLUME_OFFSET"], dtype=np.float32)
+        xyz = (q.astype(np.float32) / np.float32(65535.0)) * scale + qoff
+    else:
+        raise ValueError("pnts feature table has no POSITION[_QUANTIZED]")
+    if apply_rtc and "RTC_CENTER" in ft:
+        rtc = np.asarray(ft["RTC_CENTER"], dtype=np.float64)
+        xyz = (xyz.astype(np.float64) + rtc).astype(np.float32)
     rgb = None
     if "RGB" in ft:
         rgb = np.frombuffer(body, dtype=np.uint8, count=3 * n,
                             offset=ft["RGB"]["byteOffset"]).reshape(n, 3)
+    elif "RGBA" in ft:
+        rgb = np.frombuffer(body, dtype=np.uint8, count=4 * n,
+                            offset=ft["RGBA"]["byteOffset"]
+                            ).reshape(n, 4)[:, :3]
     return xyz, rgb, ft
 
 
@@ -104,7 +124,10 @@ def relpath_to_name(path: str) -> str:
     """Inverse of name_to_relpath: '.../06/r63.pnts' -> '0663'."""
     parts = path.replace("\\", "/").split("/")
     tail = parts[-1]
-    assert tail.startswith("r") and tail.endswith(".pnts"), path
+    assert tail.endswith(".pnts"), path
+    if not tail.startswith("r"):
+        # third-party tileset (not reference-sharded): tile id = file stem
+        return tail[:-len(".pnts")]
     name = tail[1:-len(".pnts")]
     # directory levels before the file are 8-char chunks of the prefix;
     # walk back while components look like octant chunks

@@ -50,15 +50,36 @@ def _parse_chunk(path: str, start: int, end: int):
         if start > 0:
             f.readline()            # previous chunk owns this line
         pos = f.tell()
-        buf = f.read(end - pos) if end > pos else b""
-        if not buf.endswith(b"\n") and pos + len(buf) >= end:
-            buf += f.readline()     # finish the straddling line
+        if start > 0 and pos >= end:
+            # the skipped partial line ran past `end`: this chunk owns no
+            # line STARTS in [start, end) — reading on would duplicate the
+            # next chunk's first line
+            buf = b""
+        else:
+            buf = f.read(end - pos)
+            if not buf.endswith(b"\n"):
+                buf += f.readline()  # finish the straddling last line
     rows = [ln.split() for ln in buf.decode("utf-8", "replace").splitlines()
             if ln.strip()]
     if not rows:
         return np.zeros((0, 3)), None
-    ncols = len(rows[0])
-    arr = np.array(rows, dtype=np.float64)
+    try:
+        arr = np.array(rows, dtype=np.float64)     # fast path: clean file
+        ncols = arr.shape[1]
+    except ValueError:
+        # ragged or non-numeric rows (headers/comments): keep only rows
+        # that fully parse, column count set by the first numeric row
+        parsed = []
+        for r in rows:
+            try:
+                parsed.append([float(v) for v in r])
+            except ValueError:
+                continue
+        if not parsed:
+            return np.zeros((0, 3)), None
+        ncols = len(parsed[0])
+        arr = np.array([r for r in parsed if len(r) == ncols],
+                       dtype=np.float64)
     xyz = arr[:, :3]
     if ncols >= 6:
         rgb = arr[:, -3:]           # last 3 columns (xyz_reader.py:146)

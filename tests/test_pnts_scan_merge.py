@@ -96,3 +96,84 @@ def test_scan_tilesets_applies_transform(tmp_path):
         json.dump(doc, f)
     ts = scan_tilesets(str(tmp_path))
     assert ts[0]["aabb"][0][0] >= 1000.0
+
+
+def test_merge_overview_world_frames_transformed_tileset(spark, tmp_path):
+    """ADVICE r2: a tileset whose root carries a transform must have its
+    overview points world-framed (reference merger.py:211 _get_tile_points
+    applies inv_base @ tile_transform; our base is identity)."""
+    from py3dtiles_spark.operators.merge import merge_with_overviews
+    _write_tileset(str(tmp_path / "a"), 2000, 100.0, 1)   # world x 100..110
+    _write_tileset(str(tmp_path / "b"), 2000, 0.0, 2)     # local 0..10
+    p = os.path.join(str(tmp_path / "b"), "tileset.json")
+    with open(p) as f:
+        doc = json.load(f)
+    tf = np.identity(4)
+    tf[0, 3] = 1000.0                                     # world x 1000..1010
+    doc["root"]["transform"] = tf.T.reshape(16).tolist()
+    with open(p, "w") as f:
+        json.dump(doc, f)
+
+    out = str(tmp_path / "merged")
+    merge_with_overviews(spark, str(tmp_path), out)
+    with open(os.path.join(out, "r.pnts"), "rb") as f:
+        oxyz, _, ft = decode_pnts(f.read())
+    assert ft["POINTS_LENGTH"] > 500
+    xs = oxyz[:, 0]
+    in_a = ((xs >= 99.0) & (xs <= 111.0)).sum()
+    in_b = ((xs >= 999.0) & (xs <= 1011.0)).sum()
+    # every overview point lies in one of the two WORLD-frame volumes
+    assert in_a + in_b == len(xs)
+    assert in_a > 0 and in_b > 0
+
+
+def test_decode_pnts_quantized_rgba_rtc():
+    """POSITION_QUANTIZED dequantization + RGBA + RTC_CENTER
+    (reference feature_table.py:178-182,232-265)."""
+    import struct
+    n = 4
+    q = np.array([[0, 0, 0], [65535, 65535, 65535],
+                  [32767, 0, 65535], [100, 200, 300]], dtype=np.uint16)
+    rgba = np.arange(4 * n, dtype=np.uint8).reshape(n, 4)
+    ft = {"POINTS_LENGTH": n,
+          "POSITION_QUANTIZED": {"byteOffset": 0},
+          "RGBA": {"byteOffset": 6 * n},
+          "QUANTIZED_VOLUME_SCALE": [10.0, 20.0, 30.0],
+          "QUANTIZED_VOLUME_OFFSET": [100.0, 200.0, 300.0],
+          "RTC_CENTER": [1.0, 2.0, 3.0]}
+    body = q.tobytes() + rgba.tobytes()
+    ftj = json.dumps(ft).encode()
+    ftj += b" " * ((8 - (28 + len(ftj)) % 8) % 8)
+    buf = struct.pack("<4sIIIIII", b"pnts", 1, 28 + len(ftj) + len(body),
+                      len(ftj), len(body), 0, 0) + ftj + body
+    xyz, rgb, _ = decode_pnts(buf)
+    exp = (q.astype(np.float32) / np.float32(65535.0)
+           * np.array([10, 20, 30], dtype=np.float32)
+           + np.array([100, 200, 300], dtype=np.float32))
+    exp = (exp.astype(np.float64) + np.array([1.0, 2.0, 3.0])).astype(np.float32)
+    np.testing.assert_array_equal(xyz, exp)
+    np.testing.assert_array_equal(rgb, rgba[:, :3])
+    xyz_raw, _, _ = decode_pnts(buf, apply_rtc=False)
+    assert xyz_raw[0][0] == np.float32(100.0)
+
+
+def test_pnts_scan_reference_fixture(spark, tmp_path):
+    """Golden: the reference's own pointCloudRGB.pnts (1000 points,
+    RTC_CENTER, first feature colors per reference tests/test_pc.py:12-26)
+    decodes through the distributed pnts_scan."""
+    import shutil
+    src = "/root/reference/tests/pointCloudRGB.pnts"
+    if not os.path.exists(src):
+        import pytest
+        pytest.skip("reference fixture unavailable")
+    shutil.copy(src, str(tmp_path / "pointCloudRGB.pnts"))
+    from py3dtiles_spark.sources.pnts import pnts_scan
+    rows = pnts_scan(spark, str(tmp_path)).collect()
+    assert len(rows) == 1000
+    assert {r.tile_id for r in rows} == {"pointCloudRGB"}
+    first = next(r for r in rows if r.point_idx == 0)
+    assert (first.r, first.g, first.b) == (44, 243, 209)
+    # RTC_CENTER applied: positions live near the ECEF center, not near 0
+    rtc = np.array([1215012.8828876738, -4736313.051199594, 4081605.22126042])
+    got = np.array([[r.x, r.y, r.z] for r in rows])
+    assert np.all(np.abs(got - rtc) < 1000.0)

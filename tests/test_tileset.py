@@ -24,10 +24,17 @@ def test_pnts_roundtrip_and_golden_lengths():
     assert ftb == 12000 + 3000  # float32 xyz + uint8 rgb
     assert total == len(buf) == 28 + ftj + 15000
     assert (28 + ftj) % 8 == 0  # body alignment
+    # default decode applies RTC_CENTER (reference read semantics,
+    # feature_table.py:232-237): positions come back in the tile frame
+    rtc = [1215012.88, -4736313.05, 4081605.22]
     x2, r2, ft = decode_pnts(buf)
-    np.testing.assert_array_equal(x2, xyz)
+    np.testing.assert_array_equal(
+        x2, (xyz.astype(np.float64) + np.array(rtc)).astype(np.float32))
     np.testing.assert_array_equal(r2, rgb)
-    assert ft["RTC_CENTER"] == [1215012.88, -4736313.05, 4081605.22]
+    assert ft["RTC_CENTER"] == rtc
+    # raw roundtrip with apply_rtc=False
+    x3, _, _ = decode_pnts(buf, apply_rtc=False)
+    np.testing.assert_array_equal(x3, xyz)
 
 
 def test_pnts_no_rgb():

@@ -58,8 +58,10 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
                   cfg: TilingConfig | None = None,
                   write_pnts: bool = False) -> ConvertResult:
     """The reference `convert()` as a Spark plan. srs_out=4978 with
-    srs_in=4326/4979 triggers the ECEF + alignment-rotation path; any other
-    projected CRS needs proj machinery we deliberately do not ship."""
+    srs_in=4326/4979 triggers the ECEF + alignment-rotation path;
+    srs_in in {2154, 3942..3950} (Lambert conformal conic) additionally
+    unprojects natively first (reference tests/test_convert.py:29-42 runs
+    srs_in=3949); other projected CRS raise."""
     paths = [paths] if isinstance(paths, str) else list(paths)
     ext = os.path.splitext(paths[0])[1].lower()
 
@@ -73,18 +75,34 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
 
     aabb, avg_min = info["aabb"], info["avg_min"]
 
+    unproject = None
     if srs_out is not None:
-        if int(srs_out) != 4978 or (srs_in is not None
-                                    and int(srs_in) not in (4326, 4979)):
+        from py3dtiles_spark.functions.crs import LCC_ZONES, lcc_inverse
+        if srs_in is None:
+            # reference SrsInMissingException (convert.py:379-384)
+            raise ValueError("srs_out given but the input carries no CRS: "
+                             "pass srs_in explicitly")
+        if int(srs_out) != 4978:
             raise ValueError(
-                "only EPSG:4326/4979 -> EPSG:4978 (geodetic->ECEF) is "
-                "supported without proj data; got "
-                f"srs_in={srs_in} srs_out={srs_out}")
+                f"only EPSG:4978 (ECEF) output is supported; got {srs_out}")
+        if int(srs_in) in LCC_ZONES:          # Lambert-93 / CC42-50
+            unproject = LCC_ZONES[int(srs_in)]
+        elif int(srs_in) not in (4326, 4979):
+            raise ValueError(
+                "supported srs_in: geodetic EPSG:4326/4979 or Lambert "
+                f"conformal conic 2154/3942-3950; got {srs_in}")
+
+        def _to_ecef(v):
+            if unproject is not None:
+                lon, lat = lcc_inverse(unproject, v[0], v[1])
+                return np.array(geodetic_to_ecef(lon, lat, v[2]))
+            return np.array(geodetic_to_ecef(*v))
+
         # reproject the aabb corners + avg_min (convert.py:387-405)
-        bl = np.array(geodetic_to_ecef(*aabb[0]))
-        tr = np.array(geodetic_to_ecef(*aabb[1]))
-        br = np.array(geodetic_to_ecef(aabb[1][0], aabb[0][1], aabb[0][2]))
-        avg_min = np.array(geodetic_to_ecef(*avg_min))
+        bl = _to_ecef(aabb[0])
+        tr = _to_ecef(aabb[1])
+        br = _to_ecef([aabb[1][0], aabb[0][1], aabb[0][2]])
+        avg_min = _to_ecef(avg_min)
         x_axis = br - bl
         bl = bl - avg_min
         tr = tr - avg_min
@@ -115,6 +133,14 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
 
     if srs_out is not None:
         from py3dtiles_spark.functions.crs import ecef_exprs
+        if unproject is not None:
+            # projected -> geodetic stays native too: the LCC inverse
+            # unrolls its latitude iteration into pure JVM expressions
+            from py3dtiles_spark.functions.crs import lcc_inverse_exprs
+            lon_e, lat_e = lcc_inverse_exprs(unproject, "x", "y")
+            points = points.select(
+                "point_id", lon_e.alias("x"), lat_e.alias("y"),
+                F.col("z").cast("double").alias("z"), "r", "g", "b")
         ex, ey, ez = ecef_exprs("x", "y", "z")
         points = points.select(
             "point_id", ex.alias("ex"), ey.alias("ey"), ez.alias("ez"),

@@ -181,3 +181,44 @@ def test_convert_files_ecef_path(spark, tmp_path):
     assert max(zs) < 5
     xs = [t.max_x for t in tiles]
     assert max(xs) < 200
+
+
+REF_LCC_LAS = os.path.join(os.environ.get("PY3DTILES_REF", "/root/reference"),
+                           "tests", "fixtures", "without_srs.las")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LCC_LAS),
+                    reason="reference fixture unavailable")
+def test_convert_files_lambert_cc_srs_in(spark, tmp_path):
+    """The one reference conversion test the engine previously could not
+    run (tests/test_convert.py:29-42): srs_in=3949 (RGF93/CC49, Lambert
+    conformal conic) -> EPSG:4978 via the closed-form EPSG 9802 inverse."""
+    from py3dtiles_spark.functions.crs import (
+        LCC_ZONES, geodetic_to_ecef, lcc_inverse)
+    from py3dtiles_spark.plans.convert import convert_files
+
+    # reference parity: srs_out without srs_in raises (SrsInMissingException)
+    with pytest.raises(ValueError, match="srs_in"):
+        convert_files(spark, REF_LCC_LAS, srs_out=4978)
+
+    res = convert_files(spark, REF_LCC_LAS, srs_in=3949, srs_out=4978,
+                        out_dir=str(tmp_path / "out"), write_pnts=True)
+    assert res.counters["points_assigned"] == 10
+    assert res.rotation is not None
+    assert os.path.exists(str(tmp_path / "out" / "tileset.json"))
+    assert os.path.exists(str(tmp_path / "out" / "r.pnts"))
+
+    # the offset is the avg_min reprojected through LCC inverse -> ECEF
+    info_lo = [1650813.91, 8181479.14, 44.26]     # header-scan avg_min
+    lon, lat = lcc_inverse(LCC_ZONES[3949], info_lo[0], info_lo[1])
+    assert lon == pytest.approx(2.33, abs=0.05)   # Paris-ish
+    assert lat == pytest.approx(48.83, abs=0.05)
+    exp = np.array(geodetic_to_ecef(lon, lat, info_lo[2]))
+    np.testing.assert_allclose(res.offset, exp, atol=1.0)
+
+    # after offset+rotation the local cloud is meters-sized near the origin
+    tiles = res.tiles.collect()
+    assert sum(t.point_count for t in tiles) == 10
+    ext = max(max(abs(t.min_x), abs(t.max_x), abs(t.min_y), abs(t.max_y),
+                  abs(t.min_z), abs(t.max_z)) for t in tiles)
+    assert ext < 20.0

@@ -521,6 +521,43 @@ def q_tiling_octree(spark, sf_dir):
             .agg(F.count("*").alias("point_count")).orderBy("tile_id"))
 
 
+def q_tiling_invariants(spark, sf_dir):
+    """The SQL-expressible invariants of the octree build (the full
+    order-dependent accept is not SQL-expressible, but its contract is):
+    every input point is assigned exactly once, every tile name is drawn
+    from the 0-7 octant alphabet, and every non-root tile's parent prefix
+    is a live tile. The DuckDB twin pins assigned/distinct counts to the
+    input table and the violation counters to zero (reference invariant
+    convert.py:652: points written == points read)."""
+    from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
+    pts = (_geo(spark, sf_dir)
+           .select(F.col("doc_id").alias("point_id"), "x", "y", "z"))
+    res = build_tiling(spark, pts, TilingConfig(split_threshold=2000,
+                                                in_kernel_threshold=50_000))
+    a = res.assignments
+    tiles = a.groupBy("tile_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # a live tile's ancestor may legitimately hold zero points only if it
+    # SPLIT (root always forwards, node_process.py:88-89,108; a non-root
+    # node splits at >= split_threshold points, node.py:70-72) — so every
+    # missing non-root ancestor must cover a subtree of > threshold points
+    prefixes = (tiles.filter(F.length("tile_id") > 0)
+                .select("cnt", F.explode(F.expr(
+                    "transform(sequence(1, length(tile_id)), "
+                    "i -> substring(tile_id, 1, i - 1))")).alias("p")))
+    subtree = prefixes.groupBy("p").agg(F.sum("cnt").alias("sub_cnt"))
+    orphans = (subtree
+               .join(tiles.select(F.col("tile_id").alias("p")), "p",
+                     "left_anti")
+               .filter((F.length("p") >= 1) & (F.col("sub_cnt") <= 2000)))
+    s1 = a.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.countDistinct("point_id").alias("n_points"),
+        F.coalesce(F.sum((~F.col("tile_id").rlike("^[0-7]*$")).cast("long")),
+                   F.lit(0).cast("long")).alias("bad_alphabet"))
+    s2 = orphans.agg(F.count(F.lit(1)).alias("orphan_tiles"))
+    return s1.crossJoin(s2)
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banding (native xxhash64 bit votes — DuckDB lacks xxhash64,
     so no SQL twin; the truth table is pytest test_simhash_near_dups)."""
@@ -573,6 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_triangulate": q_vector_triangulate,
         "feature_quadtree": q_feature_quadtree,
         "vector_b3dm": q_vector_b3dm,
+        # the octree build's SQL-expressible contract (oracle-checked);
+        # the raw per-tile histogram below stays rows-only
+        "tiling_invariants": q_tiling_invariants,
         # rows-only (non-SQL-expressible)
         "tiling_octree": q_tiling_octree,
         "simhash_neardup": q_simhash_neardup,
@@ -767,6 +807,12 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN y >= 0 THEN 2 ELSE 0 END)::BIGINT AS quadrant,
                    count(*) AS n
             FROM geo GROUP BY 1 ORDER BY quadrant""",
+        "tiling_invariants": f"""{geo}
+            SELECT count(*)::BIGINT AS n_assigned,
+                   count(DISTINCT doc_id)::BIGINT AS n_points,
+                   0::BIGINT AS bad_alphabet,
+                   0::BIGINT AS orphan_tiles
+            FROM geo""",
         "union_dedup": """
             WITH u AS (
                 SELECT doc_id, lang FROM documents WHERE doc_id < 300

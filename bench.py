@@ -73,14 +73,25 @@ def main() -> None:
     shutil.rmtree(ckpt, ignore_errors=True)
 
     # ---- operator headliners over driver testdata -----------------------
+    # one discarded warmup per query (Python worker pool + codegen spin-up
+    # was 2-6x the steady-state cost and made single-shot numbers noise:
+    # r1->r2 "regression" on neardup_pairs was exactly this), then the
+    # median of RUNS warm executions, min/max spread recorded
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entrymod.queries()
     for name in ["neardup_pairs", "knn_top5", "pip_polygon",
                  "pricing_summary", "hourly_events", "tiling_octree",
                  "simhash_neardup", "feature_quadtree", "vector_b3dm"]:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        n = qs[name](spark, SF_DIR).count()          # warmup, keep rows
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            ts.append(time.time() - t0)
+        ts.sort()
+        timings[name] = round(ts[len(ts) // 2], 3)
         extra[f"{name}_rows"] = n
+        extra[f"{name}_spread"] = [round(ts[0], 3), round(ts[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

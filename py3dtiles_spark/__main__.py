@@ -84,7 +84,7 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F
         from py3dtiles_spark.operators.export import (
             assign_quadtree, build_b3dm_tiles, build_vector_tileset,
-            triangulate_features)
+            node_boxes, triangulate_features, write_b3dm_files)
         if args.wkb_dir.endswith(".parquet"):
             geoms = spark.read.parquet(args.wkb_dir)
         else:
@@ -97,17 +97,16 @@ def main(argv=None) -> int:
         assigned = assign_quadtree(
             feats, weight_col="weight" if "weight" in geoms.columns else None)
         tiles_dir = os.path.join(args.output, "tiles")
-        os.makedirs(tiles_dir, exist_ok=True)
-        tile_rows = build_b3dm_tiles(assigned).collect()
-        for r in tile_rows:
-            name = r.node_id.replace("/", "_")
-            with open(os.path.join(tiles_dir, f"{name}.b3dm"), "wb") as f:
-                f.write(bytes(r.b3dm))
-        ts = build_vector_tileset(assigned.collect())
+        # executor-side sink: tile bytes never stream through the driver
+        # (reference per-node write loop, export.py:175-196)
+        n_tiles = write_b3dm_files(build_b3dm_tiles(assigned), tiles_dir)
+        # driver collect is NODE-count-sized, never feature-count-sized
+        boxes = node_boxes(assigned)
+        nf = boxes.agg(F.sum("n_features")).collect()[0][0] or 0
+        ts = build_vector_tileset(boxes.collect())
         with open(os.path.join(args.output, "tileset.json"), "w") as f:
             json.dump(ts, f)
-        print(json.dumps({"features": assigned.count(),
-                          "tiles": len(tile_rows)}))
+        print(json.dumps({"features": int(nf), "tiles": n_tiles}))
         return 0
 
     if args.cmd == "merge":

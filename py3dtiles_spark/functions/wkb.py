@@ -125,11 +125,20 @@ def _segments_cross(a, b, c, d) -> bool:
     return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
 
 
-def ear_clip(rings2d: list[np.ndarray]) -> list[tuple]:
+def ear_clip(rings2d: list[np.ndarray],
+             grid_threshold: int = 128) -> list[tuple]:
     """Triangulate a polygon (outer ring + holes) given 2D projections.
 
     rings2d: list of (n,2) float arrays, outer first, rings open.
     Returns triples of (ring_index, vertex_index) ids.
+
+    Rings larger than grid_threshold vertices use a uniform spatial grid
+    for the ear-blocker test: only vertices in cells overlapping the
+    candidate triangle's bbox are checked, instead of every remaining
+    vertex. Exact (bbox covers the triangle), and an independent take on
+    the same problem the reference solves with z-order hashing for >80
+    vertices (earcut.py:28) — typical cost drops from O(n^2) per ear
+    scan to O(n) for coastline-sized rings.
     """
     # orient: outer CCW, holes CW
     labeled = []
@@ -151,6 +160,38 @@ def ear_clip(rings2d: list[np.ndarray]) -> list[tuple]:
 
     tris = []
     verts = chain[:]
+
+    grid = None
+    if len(verts) > grid_threshold:
+        pts = np.array([p[0] for p in verts])
+        glo = pts.min(axis=0)
+        span = float(max(pts[:, 0].max() - glo[0],
+                         pts[:, 1].max() - glo[1])) or 1.0
+        csize = span / max(1, int(len(verts) ** 0.5))
+        grid = {}
+
+        def _cell(x, y):
+            return (int((x - glo[0]) / csize), int((y - glo[1]) / csize))
+
+        for w in verts:
+            grid.setdefault(_cell(w[0][0], w[0][1]), []).append(w)
+
+        def _grid_drop(w):
+            cell = grid[_cell(w[0][0], w[0][1])]
+            for j, u in enumerate(cell):
+                if u is w:        # identity: bridge endpoints duplicate
+                    del cell[j]   # the same tuple object in the chain
+                    break
+
+        def _candidates(a, v, b):
+            x0, y0 = _cell(min(a[0][0], v[0][0], b[0][0]),
+                           min(a[0][1], v[0][1], b[0][1]))
+            x1, y1 = _cell(max(a[0][0], v[0][0], b[0][0]),
+                           max(a[0][1], v[0][1], b[0][1]))
+            for gx in range(x0, x1 + 1):
+                for gy in range(y0, y1 + 1):
+                    yield from grid.get((gx, gy), ())
+
     guard = 0
     while len(verts) > 3 and guard < 4 * len(chain) * len(chain):
         n = len(verts)
@@ -162,7 +203,7 @@ def ear_clip(rings2d: list[np.ndarray]) -> list[tuple]:
             if cross <= 0:
                 continue                       # reflex or degenerate
             ear = True
-            for w in verts:
+            for w in (_candidates(a, v, b) if grid is not None else verts):
                 if w[1] in (a[1], v[1], b[1]):
                     continue
                 if _point_in_tri(w[0], a[0], v[0], b[0]):
@@ -170,6 +211,8 @@ def ear_clip(rings2d: list[np.ndarray]) -> list[tuple]:
                     break
             if ear:
                 tris.append((a[1], v[1], b[1]))
+                if grid is not None:
+                    _grid_drop(verts[i])
                 del verts[i]
                 clipped = True
                 break

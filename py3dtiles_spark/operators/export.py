@@ -101,37 +101,48 @@ def assign_quadtree(features: DataFrame,
     order = ([F.col(weight_col).desc(), F.col("geom_id").asc()]
              if weight_col else [F.col("geom_id").asc()])
 
+    from pyspark import StorageLevel
+
     out = []
+    persisted = []
     remaining = f
     for level in range(max_levels):
         size = max_tile_size / (2 ** level)
         cx = F.floor((F.col("_wcx") - x_min) / size).cast("long")
         cy = F.floor((F.col("_wcy") - y_min) / size).cast("long")
         lv = remaining.withColumn("_cx", cx).withColumn("_cy", cy)
-        last = level == max_levels - 1
-        if last:
-            kept = lv.withColumn("level", F.lit(level))   # depth cap: keep all
-        else:
-            w = Window.partitionBy("_cx", "_cy").orderBy(*order)
-            lv = lv.withColumn("_rk", F.row_number().over(w))
-            kept = (lv.filter(F.col("_rk") <= features_per_tile)
-                    .withColumn("level", F.lit(level))
-                    .drop("_rk"))
-        out.append(kept)
-        if last:
+        if level == max_levels - 1:
+            out.append(lv.withColumn("level", F.lit(level)))  # depth cap
+            break
+        w = Window.partitionBy("_cx", "_cy").orderBy(*order)
+        # persist the ranked level so its window executes exactly ONCE:
+        # the kept/remaining filters and the final union all read the
+        # cache instead of re-running windows 0..L-1 per level (quadratic
+        # recomputation for deeply skewed inputs)
+        lv = lv.withColumn("_rk", F.row_number().over(w)) \
+               .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(lv)
+        n_rem = lv.filter(F.col("_rk") > features_per_tile).count()
+        out.append(lv.filter(F.col("_rk") <= features_per_tile)
+                   .withColumn("level", F.lit(level)).drop("_rk"))
+        if n_rem == 0:
             break
         remaining = lv.filter(F.col("_rk") > features_per_tile).drop(
             "_rk", "_cx", "_cy")
-        if not remaining.take(1):
-            break
 
     from functools import reduce
     res = reduce(DataFrame.unionByName, out)
     node = F.concat_ws("/", F.col("level"), F.col("_cx"), F.col("_cy"))
-    return (res.withColumn("node_id", node)
-            .withColumnRenamed("_cx", "cell_x")
-            .withColumnRenamed("_cy", "cell_y")
-            .drop("_wcx", "_wcy", "zx0", "zy0", "zx1", "zy1"))
+    res = (res.withColumn("node_id", node)
+           .withColumnRenamed("_cx", "cell_x")
+           .withColumnRenamed("_cy", "cell_y")
+           .drop("_wcx", "_wcy", "zx0", "zy0", "zx1", "zy1"))
+    # pin the assignment (feature-count-sized, needed downstream anyway)
+    # so the per-level caches can be released before returning
+    res = res.localCheckpoint(eager=True)
+    for p in persisted:
+        p.unpersist()
+    return res
 
 
 def build_b3dm_tiles(assigned: DataFrame, transform=None,
@@ -165,19 +176,66 @@ def build_b3dm_tiles(assigned: DataFrame, transform=None,
         pack, schema="node_id string, n_features long, b3dm binary")
 
 
+def write_b3dm_files(tiles: DataFrame, out_dir: str) -> int:
+    """Materialize {level}_{cx}_{cy}.b3dm files from build_b3dm_tiles
+    output. Truly executor-side (mirrors sources/pnts.write_pnts_files):
+    each partition writes its own tiles via foreachPartition, so tile
+    bytes never stream through the driver (out_dir must be a shared
+    filesystem on a real cluster). Returns tiles written (accumulator,
+    one job)."""
+    import os as _os
+    _os.makedirs(out_dir, exist_ok=True)
+    acc = tiles.sparkSession.sparkContext.accumulator(0)
+
+    def write_partition(rows):
+        import os
+        n = 0
+        for row in rows:
+            name = row.node_id.replace("/", "_")
+            with open(os.path.join(out_dir, f"{name}.b3dm"), "wb") as f:
+                f.write(bytes(row.b3dm))
+            n += 1
+        acc.add(n)
+
+    tiles.select("node_id", "b3dm").foreachPartition(write_partition)
+    return acc.value
+
+
+def node_boxes(assigned: DataFrame) -> DataFrame:
+    """Per-node z-up bbox union + feature count — the NODE-count-sized
+    aggregate that is all the driver-side tileset assembly needs
+    (reference per-node write loop, export.py:174-196). Feeding this to
+    build_vector_tileset instead of raw features keeps the driver collect
+    O(nodes), not O(features)."""
+    return assigned.groupBy("level", "cell_x", "cell_y").agg(
+        F.min("min_x").alias("bx0"), (-F.max("max_z")).alias("by0"),
+        F.min("min_y").alias("bz0"),
+        F.max("max_x").alias("bx1"), (-F.min("min_z")).alias("by1"),
+        F.max("max_y").alias("bz1"),
+        F.count(F.lit(1)).alias("n_features"))
+
+
 def build_vector_tileset(assigned_rows, transform=None,
                          geometric_error: float = 500.0) -> dict:
     """Driver-side tileset.json for the quadtree (reference Node.to_tileset,
     export.py:60-91): per-node bbox union of its features' z-up bboxes,
-    geometricError halving per level, refine 'add'."""
+    geometricError halving per level, refine 'add'.
+
+    Accepts either node_boxes() rows (bx0..bz1 — the scalable path: the
+    collect is node-count-sized) or raw assigned feature rows (min_x..:
+    convenience for small/in-test inputs)."""
     nodes: dict = {}
     for r in assigned_rows:
         d = r.asDict() if hasattr(r, "asDict") else dict(r)
         key = (int(d["level"]), int(d["cell_x"]), int(d["cell_y"]))
         box = nodes.setdefault(key, [math.inf, math.inf, math.inf,
                                      -math.inf, -math.inf, -math.inf])
-        zmin = [d["min_x"], -d["max_z"], d["min_y"]]
-        zmax = [d["max_x"], -d["min_z"], d["max_y"]]
+        if "bx0" in d:      # pre-aggregated per-node union (z-up already)
+            zmin = [d["bx0"], d["by0"], d["bz0"]]
+            zmax = [d["bx1"], d["by1"], d["bz1"]]
+        else:
+            zmin = [d["min_x"], -d["max_z"], d["min_y"]]
+            zmax = [d["max_x"], -d["min_z"], d["max_y"]]
         for i in range(3):
             box[i] = min(box[i], zmin[i])
             box[3 + i] = max(box[3 + i], zmax[i])

@@ -23,6 +23,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+# the query side is broadcast through the driver by design ("few queries
+# against a big table"); this bounds the driver memory footprint
+MAX_DRIVER_QUERIES = 100_000
+
+
+def _check_query_count(n: int):
+    if n > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"{n} queries exceeds MAX_DRIVER_QUERIES={MAX_DRIVER_QUERIES}: "
+            "the query side is collected to the driver and broadcast. For "
+            "query sets this large, run a join-based batch kNN (bucket the "
+            "queries with lsh_signature_expr and equi-join) instead.")
+
+
 def _topk_window(df: DataFrame, part_col: str, order_col: str, k: int) -> DataFrame:
     w = Window.partitionBy(part_col).orderBy(F.col(order_col).asc(),
                                              F.col("n_id").asc())
@@ -38,6 +52,7 @@ def knn_points(points: DataFrame, queries, k: int = 10) -> DataFrame:
         q = [(r.q_id, r.x, r.y, r.z) for r in queries.collect()]
     else:
         q = list(queries)
+    _check_query_count(len(q))
     q_ids = np.array([t[0] for t in q], dtype=np.int64)
     q_xyz = np.array([t[1:4] for t in q], dtype=np.float64)
 
@@ -77,6 +92,7 @@ def knn_embeddings(emb: DataFrame, queries, k: int = 10) -> DataFrame:
         q = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in queries.collect()]
     else:
         q = [(i, np.asarray(v, dtype=np.float64)) for i, v in queries]
+    _check_query_count(len(q))
     q_ids = np.array([t[0] for t in q], dtype=np.int64)
     qm = np.stack([t[1] for t in q])
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -150,6 +166,7 @@ def ann_lsh_embeddings(emb: DataFrame, queries, k: int = 10,
         q = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in queries.collect()]
     else:
         q = [(i, np.asarray(v, dtype=np.float64)) for i, v in queries]
+    _check_query_count(len(q))
     dim = dim or len(q[0][1])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -157,11 +174,23 @@ def ann_lsh_embeddings(emb: DataFrame, queries, k: int = 10,
     def probe_buckets(v) -> list[int]:
         margins = planes @ v
         base = int(sum(1 << i for i, b in enumerate(margins > 0) if b))
-        buckets = [base]
-        # flip bits in order of |margin| (least confident first)
-        for bit in np.argsort(np.abs(margins))[:max(0, n_probes - 1)]:
-            buckets.append(base ^ (1 << int(bit)))
-        return buckets
+        if n_probes <= 1:
+            return [base]
+        # standard multi-probe perturbation: candidate buckets are base
+        # with SUBSETS of the least-confident bits flipped, ranked by the
+        # summed |margin| of the flipped bits (single-bit-only probing
+        # plateaus at Hamming-1 recall). Subsets are drawn from the m
+        # smallest margins, m capped so candidate count stays tiny.
+        import heapq
+        import itertools
+        order = np.argsort(np.abs(margins))
+        m = min(n_planes, 8)
+        cands = ((sum(abs(float(margins[order[i]])) for i in comb),
+                  sum(1 << int(order[i]) for i in comb))
+                 for r in range(1, m + 1)
+                 for comb in itertools.combinations(range(m), r))
+        best = heapq.nsmallest(n_probes - 1, cands)
+        return [base] + [base ^ mask for _, mask in best]
 
     wanted = sorted({b for _, v in q for b in probe_buckets(v)})
     from pyspark.sql.types import LongType, StructField, StructType

@@ -57,6 +57,27 @@ def test_triangulate_with_hole():
         assert not (4.0 < c[0] < 6.0 and 4.0 < c[1] < 6.0)
 
 
+def test_ear_clip_grid_matches_exhaustive():
+    """The uniform-grid blocker index (large rings) must produce the exact
+    same triangle ids as the exhaustive scan — it only narrows WHERE
+    blockers are looked for, never the test itself. Star polygon (every
+    other vertex reflex) with a hole exercises bridge duplicates."""
+    from py3dtiles_spark.functions.wkb import ear_clip
+
+    def star(n, seed=0, scale=1.0):
+        rng = np.random.default_rng(seed)
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 1.0, n) * scale
+        return np.stack([r * np.cos(th), r * np.sin(th)], axis=1)
+
+    outer = star(500, seed=1, scale=10.0)
+    hole = star(60, seed=2, scale=0.4)[::-1]
+    exhaustive = ear_clip([outer, hole], grid_threshold=10 ** 9)
+    gridded = ear_clip([outer, hole])           # 562 verts > threshold 128
+    assert gridded == exhaustive
+    assert len(gridded) == 500 + 60 + 2 - 2
+
+
 def test_triangle_orientation_follows_normal():
     tris = triangulate_polygon([_square().astype(np.float32)])
     for t in tris:

@@ -15,6 +15,7 @@ Convention shared by both sides so value-hashes line up:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -466,9 +467,12 @@ def q_feature_quadtree(spark, sf_dir):
     cell, remainder into 2x2 children) — pure window-function loop."""
     from py3dtiles_spark.operators.export import assign_quadtree
     feats = _rect_features(spark, sf_dir)
-    assigned = assign_quadtree(feats, max_tile_size=45.0,
-                               features_per_tile=20, weight_col="weight",
-                               max_levels=3)
+    # SPARK_GRAFT_PLAN_AUDIT=1: return the raw lineage (no per-level
+    # persist/localCheckpoint) so plan_audit can inspect the windows
+    assigned = assign_quadtree(
+        feats, max_tile_size=45.0, features_per_tile=20,
+        weight_col="weight", max_levels=3,
+        materialize=os.environ.get("SPARK_GRAFT_PLAN_AUDIT") != "1")
     return (assigned.select("geom_id", F.col("level").cast("long").alias("level"),
                             "cell_x", "cell_y")
             .orderBy("geom_id"))

@@ -83,14 +83,18 @@ def assign_quadtree(features: DataFrame,
                     max_tile_size: float = MAX_TILE_SIZE,
                     features_per_tile: int = FEATURES_PER_TILE,
                     weight_col: str | None = None,
-                    max_levels: int = 24) -> DataFrame:
+                    max_levels: int = 24,
+                    materialize: bool = True) -> DataFrame:
     """Quadtree node assignment by the reference's greedy rule: per cell,
     the first `features_per_tile` features (weight order) stay, the rest
     descend into the 2x2 subdivision. Returns features + (level, cx, cy,
     node_id string 'L/cx/cy').
 
     Pure window functions — zero Python, one shuffle per level, and levels
-    shrink geometrically.
+    shrink geometrically. materialize=True (production) persists each
+    ranked level so its window runs once, then localCheckpoints the
+    result and releases the level caches; materialize=False returns the
+    raw lineage (all max_levels, no early exit) — for plan inspection.
     """
     f = _z_up(features)
     ext = f.agg(F.min("zx0").alias("x0"), F.min("zy0").alias("y0")).collect()[0]
@@ -119,13 +123,16 @@ def assign_quadtree(features: DataFrame,
         # the kept/remaining filters and the final union all read the
         # cache instead of re-running windows 0..L-1 per level (quadratic
         # recomputation for deeply skewed inputs)
-        lv = lv.withColumn("_rk", F.row_number().over(w)) \
-               .persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(lv)
-        n_rem = lv.filter(F.col("_rk") > features_per_tile).count()
+        lv = lv.withColumn("_rk", F.row_number().over(w))
+        if materialize:
+            lv = lv.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(lv)
         out.append(lv.filter(F.col("_rk") <= features_per_tile)
                    .withColumn("level", F.lit(level)).drop("_rk"))
-        if n_rem == 0:
+        # early exit needs an action; with materialize=False (plan
+        # inspection) build all levels lazily instead
+        if materialize and \
+                lv.filter(F.col("_rk") > features_per_tile).count() == 0:
             break
         remaining = lv.filter(F.col("_rk") > features_per_tile).drop(
             "_rk", "_cx", "_cy")
@@ -139,9 +146,10 @@ def assign_quadtree(features: DataFrame,
            .drop("_wcx", "_wcy", "zx0", "zy0", "zx1", "zy1"))
     # pin the assignment (feature-count-sized, needed downstream anyway)
     # so the per-level caches can be released before returning
-    res = res.localCheckpoint(eager=True)
-    for p in persisted:
-        p.unpersist()
+    if materialize:
+        res = res.localCheckpoint(eager=True)
+        for p in persisted:
+            p.unpersist()
     return res
 
 

@@ -562,6 +562,18 @@ def q_tiling_invariants(spark, sf_dir):
     return s1.crossJoin(s2)
 
 
+def q_s2_cells(spark, sf_dir):
+    """North-rule "H3/S2 encode": geocoded docs bucketed into level-6 S2
+    cells (unit sphere -> cube face -> quadratic ST -> Morton ij), pure
+    native expressions — zero Python, zero UDF; the Hilbert-ordered id
+    variant lives in functions/s2.s2_cell_id (numpy, Arrow-batch)."""
+    from py3dtiles_spark.functions.s2 import s2_quad_id_expr
+    g = _geo(spark, sf_dir)
+    return (g.select(s2_quad_id_expr(6).alias("cell"))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cell"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banding (native xxhash64 bit votes — DuckDB lacks xxhash64,
     so no SQL twin; the truth table is pytest test_simhash_near_dups)."""
@@ -617,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the octree build's SQL-expressible contract (oracle-checked);
         # the raw per-tile histogram below stays rows-only
         "tiling_invariants": q_tiling_invariants,
+        "s2_cells": q_s2_cells,
         # rows-only (non-SQL-expressible)
         "tiling_octree": q_tiling_octree,
         "simhash_neardup": q_simhash_neardup,
@@ -625,7 +638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from py3dtiles_spark.functions.s2 import s2_quad_id_sql
     geo = f"WITH geo AS ({_GEO_SQL})"
+    s2_sql = s2_quad_id_sql(6, "x", "y")
     return {
         "aabb_agg": f"""{geo}
             SELECT round(min(x),6) AS min_x, round(max(x),6) AS max_x,
@@ -817,6 +832,9 @@ def oracle_sql() -> dict[str, str]:
                    0::BIGINT AS bad_alphabet,
                    0::BIGINT AS orphan_tiles
             FROM geo""",
+        "s2_cells": f"""{geo}
+            SELECT {s2_sql} AS cell, count(*) AS n
+            FROM geo GROUP BY 1 ORDER BY cell""",
         "union_dedup": """
             WITH u AS (
                 SELECT doc_id, lang FROM documents WHERE doc_id < 300

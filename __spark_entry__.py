@@ -574,6 +574,47 @@ def q_s2_cells(spark, sf_dir):
             .orderBy("cell"))
 
 
+def _doc_raster(spark, sf_dir):
+    """1-degree document footprints rasterized at 0.25-degree cells —
+    shared input of the raster-family queries."""
+    from py3dtiles_spark.operators.raster import rasterize_rects
+    g = _geo(spark, sf_dir).filter("doc_id < 300")
+    rects = g.select(
+        (F.col("x") - 0.5).alias("x0"), (F.col("x") + 0.5).alias("x1"),
+        (F.col("y") - 0.5).alias("y0"), (F.col("y") + 0.5).alias("y1"),
+        F.col("n_chars").cast("double").alias("w"))
+    return rasterize_rects(rects, 0.25, value_col="w")
+
+
+def q_raster_cells(spark, sf_dir):
+    """North-rule vector->raster: footprint rasterization (center-in-rect
+    coverage), native sequence-explode — zero Python."""
+    return (_doc_raster(spark, sf_dir)
+            .select("cell_x", "cell_y", "value")
+            .orderBy("cell_x", "cell_y"))
+
+
+def q_raster_pyramid(spark, sf_dir):
+    """North-rule tile rollup: 2x2 pyramid over the rasterized cells,
+    per-level summary (cell count, value conserved under sum)."""
+    from py3dtiles_spark.operators.raster import raster_pyramid
+    pyr = raster_pyramid(_doc_raster(spark, sf_dir), levels=3, agg="sum")
+    return (pyr.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("value").alias("total"),
+                 F.min("cell_x").alias("min_cx"),
+                 F.max("cell_y").alias("max_cy"))
+            .orderBy("level"))
+
+
+def q_raster_vectorize(spark, sf_dir):
+    """North-rule raster->vector: rectangle-cover vectorization, two
+    cascaded gaps-and-islands windows — zero Python."""
+    from py3dtiles_spark.operators.raster import vectorize_raster
+    return (vectorize_raster(_doc_raster(spark, sf_dir))
+            .orderBy("x0", "x1", "y0"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banding (native xxhash64 bit votes — DuckDB lacks xxhash64,
     so no SQL twin; the truth table is pytest test_simhash_near_dups)."""
@@ -630,11 +671,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the raw per-tile histogram below stays rows-only
         "tiling_invariants": q_tiling_invariants,
         "s2_cells": q_s2_cells,
+        "raster_cells": q_raster_cells,
+        "raster_pyramid": q_raster_pyramid,
+        "raster_vectorize": q_raster_vectorize,
         # rows-only (non-SQL-expressible)
         "tiling_octree": q_tiling_octree,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
     }
+
+
+# shared CTE of the raster-family oracles — the exact SQL twin of
+# _doc_raster (rasterize_rects center-in-rect rule via generate_series;
+# an empty series when the rect is thinner than a cell, same as the
+# operator's empty-array guard)
+_RASTER_CELLS_SQL = """,
+    r AS (SELECT CAST(n_chars AS DOUBLE) AS w,
+                 x - 0.5 AS x0, x + 0.5 AS x1,
+                 y - 0.5 AS y0, y + 0.5 AS y1
+          FROM geo WHERE doc_id < 300),
+    cells AS (
+        SELECT gx.cell_x, gy.cell_y, sum(w) AS value
+        FROM r,
+        LATERAL unnest(generate_series(
+            CAST(ceil(x0/0.25 - 0.5) AS BIGINT),
+            CAST(ceil(x1/0.25 - 0.5) AS BIGINT) - 1)) AS gx(cell_x),
+        LATERAL unnest(generate_series(
+            CAST(ceil(y0/0.25 - 0.5) AS BIGINT),
+            CAST(ceil(y1/0.25 - 0.5) AS BIGINT) - 1)) AS gy(cell_y)
+        GROUP BY 1, 2)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -835,6 +901,40 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": f"""{geo}
             SELECT {s2_sql} AS cell, count(*) AS n
             FROM geo GROUP BY 1 ORDER BY cell""",
+        "raster_cells": f"""{geo}{_RASTER_CELLS_SQL}
+            SELECT cell_x, cell_y, value FROM cells
+            ORDER BY cell_x, cell_y""",
+        "raster_pyramid": f"""{geo}{_RASTER_CELLS_SQL}
+            SELECT level, count(*)::BIGINT AS n_cells, sum(value) AS total,
+                   min(cell_x) AS min_cx, max(cell_y) AS max_cy
+            FROM (
+                SELECT 0 AS level, cell_x, cell_y, value FROM cells
+                UNION ALL SELECT 1, CAST(floor(cell_x/2.0) AS BIGINT),
+                    CAST(floor(cell_y/2.0) AS BIGINT), sum(value)
+                    FROM cells GROUP BY 2, 3
+                UNION ALL SELECT 2, CAST(floor(cell_x/4.0) AS BIGINT),
+                    CAST(floor(cell_y/4.0) AS BIGINT), sum(value)
+                    FROM cells GROUP BY 2, 3
+                UNION ALL SELECT 3, CAST(floor(cell_x/8.0) AS BIGINT),
+                    CAST(floor(cell_y/8.0) AS BIGINT), sum(value)
+                    FROM cells GROUP BY 2, 3)
+            GROUP BY level ORDER BY level""",
+        "raster_vectorize": f"""{geo}{_RASTER_CELLS_SQL},
+            runs AS (
+                SELECT cell_y, min(cell_x) AS x0, max(cell_x) AS x1
+                FROM (SELECT cell_x, cell_y, cell_x - row_number()
+                          OVER (PARTITION BY cell_y ORDER BY cell_x) AS k
+                      FROM cells)
+                GROUP BY cell_y, k),
+            rects AS (
+                SELECT x0, x1, min(cell_y) AS y0, max(cell_y) AS y1
+                FROM (SELECT x0, x1, cell_y, cell_y - row_number()
+                          OVER (PARTITION BY x0, x1 ORDER BY cell_y) AS k
+                      FROM runs)
+                GROUP BY x0, x1, k)
+            SELECT x0, x1, y0, y1,
+                   (x1 - x0 + 1) * (y1 - y0 + 1) AS n_cells
+            FROM rects ORDER BY x0, x1, y0""",
         "union_dedup": """
             WITH u AS (
                 SELECT doc_id, lang FROM documents WHERE doc_id < 300

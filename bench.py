@@ -63,6 +63,20 @@ def main() -> None:
     timings["flagship_tiling"] = round(time.time() - t0, 3)
     extra["docs_per_sec"] = round(BENCH_DOCS / timings["flagship_tiling"], 1)
 
+    # same job on the in-memory checkpoint path (production local mode;
+    # the headline number above keeps the durable parquet-checkpoint
+    # methodology of r1/r2 for round-over-round comparability)
+    t0 = time.time()
+    res_m = build_tiling(spark, points,
+                         TilingConfig(checkpoint_dir=tempfile.mkdtemp(),
+                                      checkpoint="memory",
+                                      in_kernel_threshold=40_000))
+    assert res_m.counters["points_assigned"] == BENCH_DOCS
+    extra["flagship_memory_sec"] = round(time.time() - t0, 3)
+    extra["docs_per_sec_memory"] = round(
+        BENCH_DOCS / extra["flagship_memory_sec"], 1)
+    spark.catalog.clearCache()
+
     t0 = time.time()
     assigned = points.join(res.assignments, "point_id")
     assigned = rollup_small_children(assigned)

@@ -261,6 +261,18 @@ def q_knn_top5(spark, sf_dir):
             .select("q_id", "n_id", "rank").orderBy("q_id", "rank"))
 
 
+def q_knn_join(spark, sf_dir):
+    """Distributed exact kNN JOIN (query side is a DataFrame, broadcast —
+    no driver collect): top-3 neighbours for 20 query vectors."""
+    from py3dtiles_spark.operators.knn import knn_join
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (emb.filter("vec_id < 20")
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qv")))
+    return (knn_join(emb, q, k=3).select("q_id", "n_id", "rank")
+            .orderBy("q_id", "rank"))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.sqrt(F.aggregate(
@@ -651,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "neardup_pairs": q_neardup_pairs,
         "knn_top5": q_knn_top5,
+        "knn_join": q_knn_join,
         "embedding_norms": q_embedding_norms,
         "hourly_events": q_hourly_events,
         "top_users": q_top_users,
@@ -827,6 +840,20 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos DESC, n_id ASC)::BIGINT AS rank
                 FROM sims)
             SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5
+            ORDER BY q_id, rank""",
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            sims AS (
+                SELECT q.q_id, e.vec_id AS n_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS cos
+                FROM q CROSS JOIN embeddings e),
+            ranked AS (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, n_id ASC)::BIGINT AS rank
+                FROM sims)
+            SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3
             ORDER BY q_id, rank""",
         "embedding_norms": """
             SELECT label, count(*) AS n,

@@ -202,6 +202,41 @@ def ann_lsh_embeddings(emb: DataFrame, queries, k: int = 10,
     return knn_embeddings(cand.select("vec_id", "embedding"), q, k)
 
 
+def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "qv") -> DataFrame:
+    """Fully distributed EXACT kNN join: the query side stays a DataFrame
+    (no driver collect — the scalable companion to knn_embeddings when
+    queries are themselves a table). Physical shape: per-side norms
+    computed map-side, broadcast nested-loop join against the (small)
+    query table, cosine as a native zip_with/aggregate expression, then
+    one window per q_id for top-k. Zero Python anywhere.
+
+    Broadcast bounds the query side by executor memory; for query sets
+    too big to broadcast, bucket BOTH sides with lsh_signature_expr and
+    equi-join (ann path) instead. Returns (q_id, n_id, cos, rank<=k)."""
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0),
+                                  lambda a, x: a + x.cast("double") * x))
+
+    e = emb.select(F.col(id_col).alias("n_id"),
+                   F.col(vec_col).alias("_ev"),
+                   norm(F.col(vec_col)).alias("_en"))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).alias("_qv"),
+                       norm(F.col(q_vec_col)).alias("_qn"))
+    dot = F.aggregate(
+        F.zip_with("_ev", "_qv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    j = (e.crossJoin(F.broadcast(q))
+         .withColumn("cos", dot / (F.col("_en") * F.col("_qn"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("n_id").asc())
+    return (j.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cos", "rank"))
+
+
 def ann_recall(emb: DataFrame, queries, k: int = 10, n_planes: int = 8,
                n_probes: int = 1, seed: int = 42) -> float:
     """Measured recall@k of the LSH path vs the exact brute-force answer —

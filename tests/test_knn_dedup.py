@@ -133,6 +133,32 @@ def test_ann_multiprobe_recall(spark):
     assert r4 >= 0.5                # 4 probes over 16 buckets: decent recall
 
 
+def test_knn_join_matches_collected_path(spark):
+    """The distributed kNN join (DataFrame queries, broadcast, native
+    cosine) must rank identically to knn_embeddings' driver-collected
+    path, and its plan must contain no Python stages."""
+    from py3dtiles_spark.operators.knn import knn_join
+    from pyspark.sql import functions as F
+    df, m = _emb_df(spark, n=200, dim=8, seed=13)
+    q = (df.filter("vec_id < 5")
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qv")))
+    joined = knn_join(df, q, k=4)
+    got = {(r.q_id, r.rank): r.n_id for r in joined.collect()}
+    ref = knn_embeddings(df, [(i, m[i]) for i in range(5)], k=4)
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window \
+        .partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    ref = ref.withColumn("rank", F.row_number().over(w))
+    want = {(r.q_id, r.rank): r.n_id for r in ref.collect()}
+    assert got == want
+    # each query's nearest neighbour is itself (cos 1.0)
+    for i in range(5):
+        assert got[(i, 1)] == i
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    for marker in ("FlatMap", "ArrowEval", "BatchEval"):
+        assert marker not in plan
+
+
 SF001_EMB = "/root/testdata/sf0.01/embeddings.parquet"
 
 

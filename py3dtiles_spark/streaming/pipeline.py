@@ -113,6 +113,37 @@ def sessionized_cell_activity(assigned_stream: DataFrame,
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def windowed_raster_stream(assigned_stream: DataFrame,
+                           footprint_deg: float = 1.0,
+                           cell_size: float = 0.25,
+                           window: str = "10 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Streaming vector->raster rollup: each page's footprint rasterizes
+    statelessly (the same native sequence-explode as
+    operators/raster.rasterize_rects — streaming-safe, no state), then a
+    watermarked tumbling window sums per-cell doc weight. The continuous
+    version of the batch raster pyramid's level-0 build."""
+    from py3dtiles_spark.operators.raster import _cell_range
+    half = footprint_deg / 2.0
+    kx0, kx1 = _cell_range(F.col("x") - half, F.col("x") + half, cell_size)
+    ky0, ky1 = _cell_range(F.col("y") - half, F.col("y") + half, cell_size)
+    empty = F.array().cast("array<long>")
+    cells = (assigned_stream
+             .withColumn("_xs", F.when(kx1 >= kx0, F.sequence(kx0, kx1))
+                         .otherwise(empty))
+             .withColumn("_ys", F.when(ky1 >= ky0, F.sequence(ky0, ky1))
+                         .otherwise(empty))
+             .withColumn("cell_x", F.explode("_xs"))
+             .withColumn("cell_y", F.explode("_ys")))
+    return (cells
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"),
+                     "cell_x", "cell_y")
+            .agg(F.count(F.lit(1)).alias("docs"))
+            .select(F.col("w.start").alias("window_start"),
+                    "cell_x", "cell_y", "docs"))
+
+
 def run_stream_to_memory(spark: SparkSession, src_path: str,
                          query_name: str = "cell_counts",
                          cell_deg: float = 5.0) -> "DataFrame":

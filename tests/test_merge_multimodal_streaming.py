@@ -89,3 +89,40 @@ def test_streaming_windowed_cell_counts(spark, tmp_path):
     assert sum(r.docs for r in rows) == 500
     assert all(r.window_start is not None and r.cell_id is not None
                for r in rows)
+
+
+def test_streaming_raster_rollup(spark, tmp_path):
+    """Streaming vector->raster: footprint cells match the BATCH
+    rasterization of the same pages exactly (stateless explode + window
+    agg is replay-deterministic)."""
+    from py3dtiles_spark.operators.raster import rasterize_rects
+    from py3dtiles_spark.streaming.pipeline import (
+        cell_assignments_stream, stream_pages_from_files,
+        windowed_raster_stream)
+
+    src = str(tmp_path / "raster_src")
+    pages = generate_pages(spark, 300)
+    pages.write.parquet(src)
+
+    stream = cell_assignments_stream(stream_pages_from_files(spark, src))
+    cells = windowed_raster_stream(stream, footprint_deg=1.0, cell_size=0.25)
+    q = (cells.writeStream.format("memory").queryName("t_raster")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # synthetic warc_ts spans many tumbling windows: sum them per cell
+    got: dict = {}
+    for r in spark.table("t_raster").collect():
+        assert r.window_start is not None
+        key = (r.cell_x, r.cell_y)
+        got[key] = got.get(key, 0) + r.docs
+
+    from pyspark.sql import functions as F
+    from py3dtiles_spark.sources.pages import geocode
+    g = geocode(pages)
+    rects = g.select((F.col("x") - 0.5).alias("x0"),
+                     (F.col("x") + 0.5).alias("x1"),
+                     (F.col("y") - 0.5).alias("y0"),
+                     (F.col("y") + 0.5).alias("y1"))
+    want = {(r.cell_x, r.cell_y): int(r.value)
+            for r in rasterize_rects(rects, 0.25).collect()}
+    assert got == want

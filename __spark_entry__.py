@@ -247,6 +247,19 @@ def q_neardup_pairs(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: MinHash-LSH pairs -> connected
+    components (min-label propagation) vs DuckDB's recursive-CTE closure
+    over the exhaustively computed pair graph."""
+    from py3dtiles_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+    d = _docs(spark, sf_dir).filter("doc_id < 1500")
+    pairs = minhash_lsh_pairs(d, num_perm=16, bands=8, threshold=0.9,
+                              shingle_n=5)
+    return (connected_components(pairs)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
 def q_knn_top5(spark, sf_dir):
     """Brute-force cosine top-5 for two query vectors (rank output)."""
     import numpy as np
@@ -662,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "fingerprint": q_fingerprint,
         "neardup_pairs": q_neardup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "knn_top5": q_knn_top5,
         "knn_join": q_knn_join,
         "embedding_norms": q_embedding_norms,
@@ -827,6 +841,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM g a JOIN g b ON a.doc_id < b.doc_id)
             SELECT a, b, round(jac, 4) AS jaccard FROM p
             WHERE jac >= 0.9 ORDER BY a, b""",
+        "dedup_clusters": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+                         i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS sh
+                FROM documents WHERE doc_id < 1500),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+            e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+            reach(id, lbl) AS (
+                SELECT DISTINCT a, a FROM e
+                UNION
+                SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.id)
+            SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id""",
         "knn_top5": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS qv
                        FROM embeddings WHERE vec_id IN (0, 7)),

@@ -113,6 +113,54 @@ def dedup_by_pairs(docs: DataFrame, pairs: DataFrame,
     return docs.join(losers, id_col, "left_anti")
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Near-dup pair list -> transitive clusters: (id, cluster_id) with
+    cluster_id = min doc id reachable through the pair graph. The
+    principled step between pair generation and canonical-doc selection
+    (dedup_by_pairs drops pair-locally and over/under-drops on chains).
+
+    Min-label propagation: one equi-join + min-agg per round, labels
+    persisted per round, early exit when no label moves. Converges in
+    graph-diameter rounds — near-dup clusters are shallow (dup families
+    link through shared shingles), so a handful of rounds in practice;
+    for adversarial million-node chains swap in large-star/small-star
+    (same join shape, alternating rounds). Raises if max_iter rounds
+    pass without convergence rather than returning wrong clusters."""
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(a_col).cast("long").alias("a"),
+                     F.col(b_col).cast("long").alias("b"))
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    lbl = (sym.select(F.col("a").alias("id")).distinct()
+           .withColumn("lbl", F.col("id")))
+    try:
+        for _ in range(max_iter):
+            nb = (sym.join(lbl.select(F.col("id").alias("b"),
+                                      F.col("lbl").alias("nl")), "b")
+                  .groupBy("a").agg(F.min("nl").alias("nmin")))
+            # localCheckpoint (NOT persist): each round's plan references
+            # lbl twice, so lineage would double per round — an iterative
+            # algorithm must truncate the plan, or planning itself blows
+            # up exponentially long before any data does
+            stepped = (lbl.join(nb.withColumnRenamed("a", "id"), "id", "left")
+                       .select("id", "lbl",
+                               F.least(F.col("lbl"),
+                                       F.coalesce("nmin", F.col("lbl")))
+                               .alias("nl2"))
+                       .localCheckpoint(eager=True))
+            changed = stepped.filter(F.col("nl2") < F.col("lbl")).count()
+            lbl = stepped.select("id", F.col("nl2").alias("lbl"))
+            if changed == 0:
+                return lbl.withColumnRenamed("lbl", "cluster_id")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        sym.unpersist()
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
                         max_id: int | None = None) -> DataFrame:

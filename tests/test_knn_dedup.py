@@ -181,6 +181,28 @@ def test_ann_recall_floor_sf001(spark):
     assert single <= multi - 0.2
 
 
+def test_connected_components_chains_and_stars(spark):
+    """Chains, stars and singletons-by-absence: transitive closure with
+    cluster_id = min reachable id."""
+    from py3dtiles_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> cluster 1
+         (10, 11), (10, 12), (10, 13),    # star  -> cluster 10
+         (20, 21),                        # pair  -> cluster 20
+         (31, 30)],                       # reversed order pair -> 30
+        "a long, b long")
+    got = {r.id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30}
+    # bridging two clusters merges them
+    merged = connected_components(pairs.unionByName(
+        spark.createDataFrame([(4, 10)], "a long, b long")))
+    got2 = {r.id: r.cluster_id for r in merged.collect()}
+    assert all(got2[i] == 1 for i in (1, 2, 3, 4, 10, 11, 12, 13))
+
+
 def test_minhash_bucket_cap_keeps_multiband_pairs(spark):
     docs = _docs(spark)
     capped = minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.9,

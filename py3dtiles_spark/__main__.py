@@ -49,9 +49,21 @@ def main(argv=None) -> int:
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
     e = sub.add_parser("export", help="WKB features -> b3dm quadtree tileset")
-    e.add_argument("--wkb-dir", required=True,
-                   help="directory of .wkb multipolygon files (S7) or a "
-                        "parquet of (geom_id, wkb[, weight])")
+    esrc = e.add_mutually_exclusive_group(required=True)
+    esrc.add_argument("--wkb-dir",
+                      help="directory of .wkb multipolygon files (S7) or a "
+                           "parquet of (geom_id, wkb[, weight])")
+    esrc.add_argument("--pg-url",
+                      help="PostGIS JDBC url (S6, reference export -D): "
+                           "jdbc:postgresql://host:port/db — ST_* transform "
+                           "chain pushed into the database; needs the pg "
+                           "JDBC driver on the Spark classpath")
+    e.add_argument("--pg-table", help="table name (with --pg-url)")
+    e.add_argument("--pg-geom-col", default="geom")
+    e.add_argument("--pg-id-col", default="id")
+    e.add_argument("--offset", nargs=3, type=float, metavar=("X", "Y", "Z"),
+                   help="world offset of the (local) geometries — becomes "
+                        "the root tileset transform (reference export -o)")
     e.add_argument("--output", required=True)
     e.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -85,7 +97,13 @@ def main(argv=None) -> int:
         from py3dtiles_spark.operators.export import (
             assign_quadtree, build_b3dm_tiles, build_vector_tileset,
             node_boxes, triangulate_features, write_b3dm_files)
-        if args.wkb_dir.endswith(".parquet"):
+        if args.pg_url:
+            if not args.pg_table:
+                p.error("--pg-url requires --pg-table")
+            from py3dtiles_spark.sources.postgis import postgis_features
+            geoms = postgis_features(spark, args.pg_url, args.pg_table,
+                                     args.pg_geom_col, args.pg_id_col)
+        elif args.wkb_dir.endswith(".parquet"):
             geoms = spark.read.parquet(args.wkb_dir)
         else:
             # S7 WKB directory scan (reference export.py:273-292)
@@ -103,7 +121,14 @@ def main(argv=None) -> int:
         # driver collect is NODE-count-sized, never feature-count-sized
         boxes = node_boxes(assigned)
         nf = boxes.agg(F.sum("n_features")).collect()[0][0] or 0
-        ts = build_vector_tileset(boxes.collect())
+        # reference export -o: translation transform on the root, geometry
+        # stays local (export.py:286-291, column-major flatten)
+        transform = None
+        if args.offset:
+            ox, oy, oz = args.offset
+            transform = [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0,
+                         0.0, 0.0, 1.0, 0.0, ox, oy, oz, 1.0]
+        ts = build_vector_tileset(boxes.collect(), transform=transform)
         with open(os.path.join(args.output, "tileset.json"), "w") as f:
             json.dump(ts, f)
         print(json.dumps({"features": int(nf), "tiles": n_tiles}))

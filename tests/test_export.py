@@ -186,3 +186,35 @@ def test_quadtree_export_end_to_end(spark):
             yield from geo_errors(c, depth + 1)
     for depth, err in geo_errors(ts["root"]["children"][0]):
         assert err == pytest.approx(500.0 / 2 ** depth)
+
+
+def test_export_cli_parquet_offset(spark, tmp_path):
+    """Drive the export CLI end-to-end on a parquet feature table with
+    --offset: executor-side b3dm files land on disk and the root tileset
+    carries the reference's column-major translation transform
+    (reference export.py:286-291)."""
+    import json
+    from py3dtiles_spark.__main__ import main
+
+    src = str(tmp_path / "feats.parquet")
+    _features_df(spark, n=40).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["export", "--wkb-dir", src, "--output", out,
+               "--offset", "100", "200", "300", "--cpus", "4"])
+    assert rc == 0
+    with open(os.path.join(out, "tileset.json")) as f:
+        ts = json.load(f)
+    assert ts["root"]["transform"][12:15] == [100.0, 200.0, 300.0]
+    assert ts["root"]["transform"][0] == 1.0
+    tiles = os.listdir(os.path.join(out, "tiles"))
+    assert tiles and all(t.endswith(".b3dm") for t in tiles)
+    # every feature landed in some tile
+    with open(os.path.join(os.path.join(out, "tiles"), tiles[0]), "rb") as f:
+        assert f.read(4) == b"b3dm"
+
+
+def test_export_cli_pg_requires_table(tmp_path):
+    from py3dtiles_spark.__main__ import main
+    with pytest.raises(SystemExit):
+        main(["export", "--pg-url", "jdbc:postgresql://h/db",
+              "--output", str(tmp_path)])

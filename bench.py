@@ -95,7 +95,8 @@ def main() -> None:
     qs = entrymod.queries()
     for name in ["neardup_pairs", "knn_top5", "pip_polygon",
                  "pricing_summary", "hourly_events", "tiling_octree",
-                 "simhash_neardup", "feature_quadtree", "vector_b3dm"]:
+                 "simhash_neardup", "feature_quadtree", "vector_b3dm",
+                 "s2_cells", "raster_cells", "knn_join"]:
         n = qs[name](spark, SF_DIR).count()          # warmup, keep rows
         ts = []
         for _ in range(RUNS):

@@ -257,6 +257,17 @@ def lcc_inverse_exprs(p: LCCParams, e_col="x", n_col="y"):
     return F.degrees(lon), F.degrees(lat)
 
 
+def convert_to_ecef(x, y, z, epsg_input: int):
+    """API parity with the reference's public `convert_to_ecef`
+    (utils.py:9-12): (x, y, z, source EPSG) -> EPSG:4978 ECEF meters.
+    Geodetic input (4326/4979) takes the closed form directly; Lambert
+    conformal conic zones unproject first. Accepts scalars or arrays."""
+    if int(epsg_input) in (4326, 4979):
+        return geodetic_to_ecef(x, y, z)
+    lon, lat = projected_to_geodetic(epsg_input, x, y)
+    return geodetic_to_ecef(lon, lat, z)
+
+
 def projected_to_geodetic(srs_in: int, easting, northing):
     """numpy dispatch: known projected EPSG -> (lon_deg, lat_deg)."""
     if int(srs_in) not in LCC_ZONES:

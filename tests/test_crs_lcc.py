@@ -67,6 +67,23 @@ def test_lcc_roundtrip_cc49():
     assert abs(lon.mean() - 3.0) < 4.0
 
 
+def test_convert_to_ecef_api_parity():
+    """The reference's public convert_to_ecef signature (utils.py:9-12),
+    on its own gdaltransform golden (tests/test_convert.py:10-18) and on
+    a projected LCC input."""
+    from py3dtiles_spark.functions.crs import convert_to_ecef
+    x, y, z = convert_to_ecef(-75.61200462622627, 40.03886513981721,
+                              2848.448771114095, 4326)
+    assert x == pytest.approx(1215626.30684538, abs=1e-5)
+    assert y == pytest.approx(-4738673.45914053, abs=1e-5)
+    assert z == pytest.approx(4083122.83975827, abs=1e-5)
+    # projected input: LCC zone origin unprojects to (lon0, lat0)
+    from py3dtiles_spark.functions.crs import geodetic_to_ecef
+    gx, gy, gz = convert_to_ecef(700_000.0, 6_600_000.0, 100.0, 2154)
+    ex, ey, ez = geodetic_to_ecef(3.0, 46.5, 100.0)
+    assert (gx, gy, gz) == pytest.approx((ex, ey, ez), abs=1e-6)
+
+
 def test_projected_to_geodetic_dispatch():
     lon, lat = projected_to_geodetic(2154, 700_000.0, 6_600_000.0)
     assert lon == pytest.approx(3.0, abs=1e-9)

@@ -229,6 +229,31 @@ def q_quality_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation in one declarative plan:
+    quality gate (length + token floor + punctuation-density ceiling) ->
+    exact dedup (keep the min doc_id per identical text, window rank —
+    the hash-groupBy family) -> per-language kept-doc and token budget.
+    Every step is a built-in expression; the DuckDB twin replays the
+    identical pipeline."""
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.split("text", " ")).cast("long")
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?'\"()-]", ""))
+    q = (d.select("doc_id", "lang", "text", ntok.alias("ntok"),
+                  (punct / F.greatest(F.length("text"), F.lit(1)))
+                  .alias("punct_ratio"))
+         .filter((F.length("text") >= 80) & (F.col("ntok") >= 10)
+                 & (F.col("punct_ratio") <= 0.2)))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (q.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1))
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("kept_docs"),
+                 F.sum("ntok").alias("token_budget"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang"))
+
+
 def q_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min md5 over 8-token rolling shingles."""
     from py3dtiles_spark.functions.text import fingerprint
@@ -673,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": q_dedup_stats,
         "token_stats": q_token_stats,
         "quality_metrics": q_quality_metrics,
+        "corpus_curation": q_corpus_curation,
         "fingerprint": q_fingerprint,
         "neardup_pairs": q_neardup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -819,6 +845,25 @@ def oracle_sql() -> dict[str, str]:
                        AS punct_len,
                    length(text)::BIGINT AS text_len
             FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+        "corpus_curation": """
+            WITH q AS (
+                SELECT doc_id, lang, text,
+                       len(string_split(text, ' '))::BIGINT AS ntok,
+                       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                           ::DOUBLE / greatest(length(text), 1) AS punct_ratio
+                FROM documents
+                WHERE length(text) >= 80),
+            gated AS (
+                SELECT * FROM q WHERE ntok >= 10 AND punct_ratio <= 0.2),
+            kept AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY text
+                                                 ORDER BY doc_id) AS rk
+                    FROM gated) WHERE rk = 1)
+            SELECT lang, count(*)::BIGINT AS kept_docs,
+                   sum(ntok)::BIGINT AS token_budget,
+                   min(doc_id) AS first_doc
+            FROM kept GROUP BY lang ORDER BY lang""",
         "fingerprint": """
             SELECT doc_id,
                    list_aggregate(

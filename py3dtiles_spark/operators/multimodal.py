@@ -2,8 +2,10 @@
 
 Media ride as opaque `binary` columns with typed metadata structs; the
 Spark-side plumbing — schemas, Arrow batch shapes, partition-friendly
-grouped processing — is real and tested. The actual codec step is STUBBED
-(this container has no image/audio libraries): `decode_image` raises
+grouped processing — is real and tested. `probe_media` is REAL (container
+header parsing — PNG/JPEG/GIF/BMP dimensions, WAV audio params — pure
+byte slicing, no codec library). Only the pixel/sample DECODE step is
+stubbed (this container has no image/audio codecs): `decode_image` raises
 NotImplementedError unless `fake=True`, in which case a deterministic fake
 decoder produces stable pseudo-pixels from the bytes so downstream feature
 extraction is exercisable end-to-end.
@@ -50,6 +52,82 @@ def decode_image(payload: bytes, width: int, height: int,
     raise NotImplementedError(
         "real image decoding requires PIL/opencv — not in this container; "
         "pass fake=True for the deterministic stub")
+
+
+def probe_media_bytes(payload: bytes) -> dict:
+    """REAL (codec-free) container-header probe: format + dimensions /
+    audio params straight from the byte layout — no image/audio library
+    needed. Supports PNG (IHDR), JPEG (SOFn scan), GIF, BMP, WAV (RIFF
+    chunk walk). Unknown formats -> format='unknown', fields None."""
+    import struct as _s
+    out = {"format": "unknown", "width": None, "height": None,
+           "sample_rate": None, "channels": None, "duration_ms": None}
+    b = payload
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _s.unpack(">II", b[16:24])
+        out.update(format="png", width=w, height=h)
+    elif len(b) >= 4 and b[:2] == b"\xff\xd8":
+        out["format"] = "jpeg"
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = _s.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _s.unpack(">HH", b[i + 5:i + 9])
+                out.update(width=w, height=h)
+                break
+            i += 2 + seglen
+    elif len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _s.unpack("<HH", b[6:10])
+        out.update(format="gif", width=w, height=h)
+    elif len(b) >= 26 and b[:2] == b"BM":
+        w, h = _s.unpack("<ii", b[18:26])
+        out.update(format="bmp", width=w, height=abs(h))
+    elif (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+        out["format"] = "wav"
+        i = 12
+        rate = channels = bits = data_size = None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            csz = _s.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                channels, rate = _s.unpack("<HI", b[i + 10:i + 16])
+                bits = _s.unpack("<H", b[i + 22:i + 24])[0]
+            elif cid == b"data":
+                data_size = csz
+            i += 8 + csz + (csz & 1)
+        if rate and channels and bits and data_size is not None:
+            out.update(sample_rate=rate, channels=channels,
+                       duration_ms=int(data_size * 8000
+                                       / (rate * channels * bits)))
+    return out
+
+
+def probe_media(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Distributed header probe over a binary media column (Arrow-batched;
+    the probe itself is pure byte slicing — no codecs)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                info = probe_media_bytes(bytes(payload))
+                rows.append((int(mid), info["format"], info["width"],
+                             info["height"], info["sample_rate"],
+                             info["channels"], info["duration_ms"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "format", "width", "height", "sample_rate",
+                "channels", "duration_ms"])
+
+    return (media.select("media_id", payload_col)
+            .mapInPandas(run, schema="media_id long, format string, "
+                                     "width int, height int, "
+                                     "sample_rate int, channels int, "
+                                     "duration_ms int"))
 
 
 def image_features(media: DataFrame, fake: bool = True) -> DataFrame:

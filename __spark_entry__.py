@@ -683,6 +683,20 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_embeddings(emb, qs, k=5, n_planes=6).orderBy("q_id", "n_id")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (MLlib KMeans coarse quantizer, the non-LSH scale path):
+    top-5 for two queries probing 2 of 16 lists. Approximate by design
+    (recall<1) — rows-only; the recall floor is pytest-asserted."""
+    import numpy as np
+    from py3dtiles_spark.operators.knn import ivf_index, ivf_search
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [(int(r.vec_id), np.array(r.embedding, dtype=np.float64))
+          for r in emb.filter("vec_id IN (0, 7)").collect()]
+    assigned, cents = ivf_index(emb, n_lists=16, seed=42)
+    return (ivf_search(assigned, cents, qs, k=5, n_probe=2)
+            .orderBy("q_id", "n_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "aabb_agg": q_aabb_agg,
@@ -731,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_octree": q_tiling_octree,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 

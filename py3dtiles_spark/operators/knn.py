@@ -237,6 +237,59 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", "n_id", "cos", "rank"))
 
 
+def ivf_index(emb: DataFrame, n_lists: int = 16, seed: int = 42,
+              max_iter: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF coarse quantizer — the alternative ANN scale path to
+    hyperplane LSH: MLlib KMeans (the idiomatic Spark trainer — Lloyd's
+    iterations as distributed jobs) learns n_lists centroids, every
+    vector is assigned to its nearest list, and searches only probe the
+    closest lists. Returns (assigned_df with `list_id`, centroids
+    float64 (n_lists, dim)). Deterministic for a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn("_fv", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
+                   featuresCol="_fv", predictionCol="list_id").fit(feats)
+    assigned = model.transform(feats).drop("_fv")
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries,
+               k: int = 10, n_probe: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k over an IVF index: each query probes its n_probe nearest
+    centroid lists (euclidean, matching the KMeans objective), the scan
+    is an equi-join on list_id (~n_probe/n_lists of the table), and the
+    exact cosine ranking runs on the candidates only."""
+    if isinstance(queries, DataFrame):
+        q = [(r[0], np.asarray(r[1], dtype=np.float64))
+             for r in queries.collect()]
+    else:
+        q = [(i, np.asarray(v, dtype=np.float64)) for i, v in queries]
+    _check_query_count(len(q))
+    wanted = sorted({
+        int(l)
+        for _, v in q
+        for l in np.argsort(((centroids - v) ** 2).sum(axis=1))[:n_probe]})
+    cand = assigned.filter(F.col("list_id").isin(wanted))
+    return knn_embeddings(cand.select(id_col, vec_col), q, k)
+
+
+def ivf_recall(emb: DataFrame, queries, k: int = 10, n_lists: int = 16,
+               n_probe: int = 4, seed: int = 42) -> float:
+    """Measured recall@k of the IVF path vs exact brute force (same
+    acceptance metric as ann_recall for the LSH path)."""
+    exact = {(r.q_id, r.n_id) for r in knn_embeddings(emb, queries, k).collect()}
+    assigned, cents = ivf_index(emb, n_lists=n_lists, seed=seed)
+    approx = {(r.q_id, r.n_id)
+              for r in ivf_search(assigned, cents, queries, k,
+                                  n_probe=n_probe).collect()}
+    return len(exact & approx) / max(1, len(exact))
+
+
 def ann_recall(emb: DataFrame, queries, k: int = 10, n_planes: int = 8,
                n_probes: int = 1, seed: int = 42) -> float:
     """Measured recall@k of the LSH path vs the exact brute-force answer —

@@ -203,6 +203,25 @@ def test_connected_components_chains_and_stars(spark):
     assert all(got2[i] == 1 for i in (1, 2, 3, 4, 10, 11, 12, 13))
 
 
+@pytest.mark.skipif(not os.path.exists(SF001_EMB),
+                    reason="driver testdata unavailable")
+def test_ivf_recall_floor_sf001(spark):
+    """IVF (MLlib KMeans coarse quantizer) recall floor on the driver's
+    embeddings: >= 0.85 at 16 lists / 2 probes (12.5% scan fraction) —
+    measured 0.96 in r3. Also deterministic for a fixed seed."""
+    from py3dtiles_spark.operators.knn import ivf_index, ivf_recall
+    emb = spark.read.parquet(SF001_EMB)
+    qs = [(int(r.vec_id), np.array(r.embedding, dtype=np.float64))
+          for r in emb.filter("vec_id < 10").collect()]
+    r = ivf_recall(emb, qs, k=10, n_lists=16, n_probe=2)
+    assert r >= 0.85
+    a1, c1 = ivf_index(emb, n_lists=8, seed=7)
+    a2, c2 = ivf_index(emb, n_lists=8, seed=7)
+    np.testing.assert_allclose(c1, c2)
+    assert (a1.select("vec_id", "list_id").subtract(
+        a2.select("vec_id", "list_id")).count() == 0)
+
+
 def test_minhash_bucket_cap_keeps_multiband_pairs(spark):
     docs = _docs(spark)
     capped = minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.9,

@@ -272,6 +272,16 @@ def q_neardup_pairs(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact character-3-gram Jaccard pairs (the quadratic validation
+    variant, ids < 200) vs DuckDB computing the identical set algebra."""
+    from py3dtiles_spark.operators.dedup import ngram_jaccard_pairs
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.8, max_id=200)
+    return (pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clusters: MinHash-LSH pairs -> connected
     components (min-label propagation) vs DuckDB's recursive-CTE closure
@@ -715,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "fingerprint": q_fingerprint,
         "neardup_pairs": q_neardup_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "knn_top5": q_knn_top5,
         "knn_join": q_knn_join,
@@ -901,6 +912,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM g a JOIN g b ON a.doc_id < b.doc_id)
             SELECT a, b, round(jac, 4) AS jaccard FROM p
             WHERE jac >= 0.9 ORDER BY a, b""",
+        "ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(length(text) - 2, 1)),
+                         i -> text[i:i+2])) AS gr
+                FROM documents WHERE doc_id < 200),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       len(list_intersect(a.gr, b.gr))::DOUBLE
+                       / len(list_distinct(list_concat(a.gr, b.gr))) AS jac
+                FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT a, b, round(jac, 4) AS jaccard FROM p
+            WHERE jac >= 0.8 ORDER BY a, b""",
         "dedup_clusters": """
             WITH RECURSIVE g AS (
                 SELECT doc_id,

@@ -594,16 +594,19 @@ def q_tiling_invariants(spark, sf_dir):
     input table and the violation counters to zero (reference invariant
     convert.py:652: points written == points read)."""
     from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
+    split_threshold = 2000
     pts = (_geo(spark, sf_dir)
            .select(F.col("doc_id").alias("point_id"), "x", "y", "z"))
-    res = build_tiling(spark, pts, TilingConfig(split_threshold=2000,
-                                                in_kernel_threshold=50_000))
+    res = build_tiling(spark, pts,
+                       TilingConfig(split_threshold=split_threshold,
+                                    in_kernel_threshold=50_000))
     a = res.assignments
     tiles = a.groupBy("tile_id").agg(F.count(F.lit(1)).alias("cnt"))
     # a live tile's ancestor may legitimately hold zero points only if it
     # SPLIT (root always forwards, node_process.py:88-89,108; a non-root
-    # node splits at >= split_threshold points, node.py:70-72) — so every
-    # missing non-root ancestor must cover a subtree of > threshold points
+    # node splits at >= split_threshold points, node.py:70-72) — so a
+    # missing non-root ancestor is an orphan only when its subtree holds
+    # FEWER than split_threshold points (>= threshold means it split)
     prefixes = (tiles.filter(F.length("tile_id") > 0)
                 .select("cnt", F.explode(F.expr(
                     "transform(sequence(1, length(tile_id)), "
@@ -612,7 +615,8 @@ def q_tiling_invariants(spark, sf_dir):
     orphans = (subtree
                .join(tiles.select(F.col("tile_id").alias("p")), "p",
                      "left_anti")
-               .filter((F.length("p") >= 1) & (F.col("sub_cnt") <= 2000)))
+               .filter((F.length("p") >= 1)
+                       & (F.col("sub_cnt") < split_threshold)))
     s1 = a.agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.countDistinct("point_id").alias("n_points"),

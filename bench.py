@@ -48,10 +48,11 @@ def main() -> None:
     # allocator high-water marks) so the timed run measures the steady
     # state a long-lived executor delivers, not JVM cold-start
     warm_pts = pages_as_points(generate_pages(spark, 30_000), skew=True)
+    warm_ckpt = tempfile.mkdtemp()
     build_tiling(spark, warm_pts,
-                 TilingConfig(checkpoint_dir=tempfile.mkdtemp(),
-                              checkpoint="memory"))
+                 TilingConfig(checkpoint_dir=warm_ckpt, checkpoint="memory"))
     spark.catalog.clearCache()
+    shutil.rmtree(warm_ckpt, ignore_errors=True)
 
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
     t0 = time.time()
@@ -66,9 +67,10 @@ def main() -> None:
     # same job on the in-memory checkpoint path (production local mode;
     # the headline number above keeps the durable parquet-checkpoint
     # methodology of r1/r2 for round-over-round comparability)
+    mem_ckpt = tempfile.mkdtemp()
     t0 = time.time()
     res_m = build_tiling(spark, points,
-                         TilingConfig(checkpoint_dir=tempfile.mkdtemp(),
+                         TilingConfig(checkpoint_dir=mem_ckpt,
                                       checkpoint="memory",
                                       in_kernel_threshold=40_000))
     assert res_m.counters["points_assigned"] == BENCH_DOCS
@@ -76,6 +78,7 @@ def main() -> None:
     extra["docs_per_sec_memory"] = round(
         BENCH_DOCS / extra["flagship_memory_sec"], 1)
     spark.catalog.clearCache()
+    shutil.rmtree(mem_ckpt, ignore_errors=True)
 
     t0 = time.time()
     assigned = points.join(res.assignments, "point_id")

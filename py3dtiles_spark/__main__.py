@@ -119,8 +119,9 @@ def main(argv=None) -> int:
         # (reference per-node write loop, export.py:175-196)
         n_tiles = write_b3dm_files(build_b3dm_tiles(assigned), tiles_dir)
         # driver collect is NODE-count-sized, never feature-count-sized
-        boxes = node_boxes(assigned)
-        nf = boxes.agg(F.sum("n_features")).collect()[0][0] or 0
+        # (one collect; the feature total sums driver-side over node rows)
+        box_rows = node_boxes(assigned).collect()
+        nf = sum(r.n_features for r in box_rows)
         # reference export -o: translation transform on the root, geometry
         # stays local (export.py:286-291, column-major flatten)
         transform = None
@@ -128,7 +129,7 @@ def main(argv=None) -> int:
             ox, oy, oz = args.offset
             transform = [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0,
                          0.0, 0.0, 1.0, 0.0, ox, oy, oz, 1.0]
-        ts = build_vector_tileset(boxes.collect(), transform=transform)
+        ts = build_vector_tileset(box_rows, transform=transform)
         with open(os.path.join(args.output, "tileset.json"), "w") as f:
             json.dump(ts, f)
         print(json.dumps({"features": int(nf), "tiles": n_tiles}))

@@ -216,8 +216,11 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
     too big to broadcast, bucket BOTH sides with lsh_signature_expr and
     equi-join (ann path) instead. Returns (q_id, n_id, cos, rank<=k)."""
     def norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0),
-                                  lambda a, x: a + x.cast("double") * x))
+        n = F.sqrt(F.aggregate(c, F.lit(0.0),
+                               lambda a, x: a + x.cast("double") * x))
+        # zero-vector guard, same convention as knn_embeddings
+        # (norms[norms == 0] = 1.0): cos becomes 0.0, never NULL
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
     e = emb.select(F.col(id_col).alias("n_id"),
                    F.col(vec_col).alias("_ev"),

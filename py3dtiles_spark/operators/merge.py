@@ -154,11 +154,15 @@ def scan_tilesets(root_dir: str) -> list[dict]:
         if uri:
             pnts_path = os.path.join(os.path.dirname(path), uri)
             if os.path.exists(pnts_path):
+                # read the 28-byte header first, then EXACTLY the
+                # feature-table JSON — a fixed 1024-byte slice truncated
+                # third-party files with large feature tables
                 with open(pnts_path, "rb") as f:
-                    head = f.read(1024)
-                ftj = _struct.unpack("<I", head[12:16])[0]
+                    head = f.read(PNTS_HEADER_LEN)
+                    ftj = _struct.unpack("<I", head[12:16])[0]
+                    ft_bytes = f.read(ftj)
                 import json as _json
-                ft = _json.loads(head[PNTS_HEADER_LEN:PNTS_HEADER_LEN + ftj])
+                ft = _json.loads(ft_bytes)
                 count = ft.get("POINTS_LENGTH", 0)
         out.append({"uri": os.path.relpath(path, root_dir),
                     "transform": (m if tf is not None else None),

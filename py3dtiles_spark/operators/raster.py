@@ -39,24 +39,38 @@ def _cell_range(lo_col, hi_col, cell_size: float):
     return lo_k, hi_k
 
 
-def rasterize_rects(rects: DataFrame, cell_size: float,
-                    value_col: str | None = None,
-                    x0="x0", y0="y0", x1="x1", y1="y1") -> DataFrame:
-    """Axis-aligned rectangles -> (cell_x, cell_y, value) with value =
-    sum of covering features' value_col (1.0 if None). Coverage rule:
-    cell center inside the rectangle (GDAL ALL_TOUCHED=FALSE analogue).
-    Pure native: sequence + explode, empty ranges guarded (a rect thinner
-    than a cell may cover nothing)."""
-    val = (F.col(value_col) if value_col else F.lit(1.0)).cast("double")
+def explode_rect_cells(rects: DataFrame, cell_size: float,
+                       x0="x0", y0="y0", x1="x1", y1="y1") -> DataFrame:
+    """One row per (input row, covered cell): adds cell_x/cell_y columns,
+    every other column passes through. Coverage rule: cell CENTER inside
+    the rectangle (GDAL ALL_TOUCHED=FALSE analogue); empty ranges guarded
+    (a rect thinner than a cell may cover nothing). Pure native and
+    stateless, so it composes into batch aggregation (rasterize_rects)
+    and streaming windowed rollups (windowed_raster_stream) alike."""
     kx0, kx1 = _cell_range(F.col(x0), F.col(x1), cell_size)
     ky0, ky1 = _cell_range(F.col(y0), F.col(y1), cell_size)
     empty = F.array().cast("array<long>")
     xs = F.when(kx1 >= kx0, F.sequence(kx0, kx1)).otherwise(empty)
     ys = F.when(ky1 >= ky0, F.sequence(ky0, ky1)).otherwise(empty)
-    return (rects.select(val.alias("_v"), xs.alias("_xs"), ys.alias("_ys"))
-            .select("_v", F.explode("_xs").alias("cell_x"), "_ys")
-            .select("_v", "cell_x", F.explode("_ys").alias("cell_y"))
-            .groupBy("cell_x", "cell_y")
+    return (rects.withColumn("_xs", xs).withColumn("_ys", ys)
+            .withColumn("cell_x", F.explode("_xs"))
+            .withColumn("cell_y", F.explode("_ys"))
+            .drop("_xs", "_ys"))
+
+
+def rasterize_rects(rects: DataFrame, cell_size: float,
+                    value_col: str | None = None,
+                    x0="x0", y0="y0", x1="x1", y1="y1") -> DataFrame:
+    """Axis-aligned rectangles -> (cell_x, cell_y, value) with value =
+    sum of covering features' value_col (1.0 if None)."""
+    val = (F.col(value_col) if value_col else F.lit(1.0)).cast("double")
+    cells = explode_rect_cells(rects.select(val.alias("_v"),
+                                            F.col(x0).alias("x0"),
+                                            F.col(y0).alias("y0"),
+                                            F.col(x1).alias("x1"),
+                                            F.col(y1).alias("y1")),
+                               cell_size)
+    return (cells.groupBy("cell_x", "cell_y")
             .agg(F.sum("_v").alias("value")))
 
 

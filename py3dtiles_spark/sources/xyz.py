@@ -46,14 +46,19 @@ def _parse_chunk(path: str, start: int, end: int):
     """Read [start, end) honoring line boundaries: skip the first partial
     line unless start==0; keep reading past `end` to finish the last line."""
     with open(path, "rb") as f:
-        f.seek(start)
+        # ownership rule: a chunk owns every line whose FIRST byte lies in
+        # [start, end). Skip the first line only when `start` is mid-line
+        # (the byte before it is not a newline) — skipping unconditionally
+        # lost any line that began exactly at a chunk boundary.
         if start > 0:
-            f.readline()            # previous chunk owns this line
+            f.seek(start - 1)
+            if f.read(1) != b"\n":
+                f.readline()        # start mid-line: previous chunk owns it
         pos = f.tell()
-        if start > 0 and pos >= end:
+        if pos >= end:
             # the skipped partial line ran past `end`: this chunk owns no
-            # line STARTS in [start, end) — reading on would duplicate the
-            # next chunk's first line
+            # line starting in [start, end) — reading on would duplicate
+            # the next chunk's first line
             buf = b""
         else:
             buf = f.read(end - pos)

@@ -119,22 +119,18 @@ def windowed_raster_stream(assigned_stream: DataFrame,
                            window: str = "10 minutes",
                            watermark: str = "30 minutes") -> DataFrame:
     """Streaming vector->raster rollup: each page's footprint rasterizes
-    statelessly (the same native sequence-explode as
-    operators/raster.rasterize_rects — streaming-safe, no state), then a
-    watermarked tumbling window sums per-cell doc weight. The continuous
-    version of the batch raster pyramid's level-0 build."""
-    from py3dtiles_spark.operators.raster import _cell_range
+    statelessly via the SAME explode_rect_cells the batch rasterizer uses
+    (streaming-safe, no state — any change to the coverage rule applies
+    to both paths), then a watermarked tumbling window sums per-cell doc
+    weight. The continuous version of the batch pyramid's level-0 build."""
+    from py3dtiles_spark.operators.raster import explode_rect_cells
     half = footprint_deg / 2.0
-    kx0, kx1 = _cell_range(F.col("x") - half, F.col("x") + half, cell_size)
-    ky0, ky1 = _cell_range(F.col("y") - half, F.col("y") + half, cell_size)
-    empty = F.array().cast("array<long>")
-    cells = (assigned_stream
-             .withColumn("_xs", F.when(kx1 >= kx0, F.sequence(kx0, kx1))
-                         .otherwise(empty))
-             .withColumn("_ys", F.when(ky1 >= ky0, F.sequence(ky0, ky1))
-                         .otherwise(empty))
-             .withColumn("cell_x", F.explode("_xs"))
-             .withColumn("cell_y", F.explode("_ys")))
+    rects = (assigned_stream
+             .withColumn("x0", F.col("x") - half)
+             .withColumn("x1", F.col("x") + half)
+             .withColumn("y0", F.col("y") - half)
+             .withColumn("y1", F.col("y") + half))
+    cells = explode_rect_cells(rects, cell_size)
     return (cells
             .withWatermark("warc_ts", watermark)
             .groupBy(F.window("warc_ts", window).alias("w"),

@@ -73,6 +73,30 @@ def test_xyz_scan_roundtrip(spark, tmp_path):
     assert df.select("point_id").distinct().count() == 5000
 
 
+def test_xyz_chunk_boundary_ownership(tmp_path):
+    """Every split point — including splits landing exactly on a line
+    start — yields each line exactly once across chunks (r3 review: the
+    unconditional first-line skip lost lines starting at a boundary; the
+    earlier code duplicated lines longer than a chunk)."""
+    from py3dtiles_spark.sources.xyz import _parse_chunk
+    path = str(tmp_path / "b.xyz")
+    lines = [f"{i}.0 {i}.5 {i}.25\n" for i in range(10)]   # 12 bytes each
+    with open(path, "w") as f:
+        f.writelines(lines)
+    size = os.path.getsize(path)
+    for split in range(1, size):
+        a, _ = _parse_chunk(path, 0, split)
+        b, _ = _parse_chunk(path, split, size)
+        got = sorted(list(a[:, 0]) + list(b[:, 0]))
+        assert got == [float(i) for i in range(10)], f"split={split}"
+    # three-way splits across boundaries too
+    for s1, s2 in [(12, 24), (12, 60), (30, 72), (59, 61)]:
+        parts = [_parse_chunk(path, lo, hi)[0][:, 0]
+                 for lo, hi in [(0, s1), (s1, s2), (s2, size)]]
+        got = sorted(v for p in parts for v in p)
+        assert got == [float(i) for i in range(10)], (s1, s2)
+
+
 def test_xyz_scan_rgb_dialect(spark, tmp_path):
     path = tmp_path / "c.xyz"
     with open(path, "w") as f:

@@ -35,6 +35,16 @@ def main(argv=None) -> int:
                    help="generate a synthetic pages table instead of --input")
     c.add_argument("--output", required=True)
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--overwrite", action="store_true",
+                   help="delete the output folder first (reference "
+                        "convert --overwrite)")
+    c.add_argument("--benchmark", default=None, metavar="LABEL",
+                   help="print 'LABEL,files,points,seconds' at the end "
+                        "(reference convert --benchmark)")
+    c.add_argument("--rgb", type=lambda v: v.lower() not in ("0", "false"),
+                   default=True, help="export rgb attributes (default true)")
+    c.add_argument("--color-scale", type=float, default=None,
+                   help="force the LAS color scale instead of detecting it")
     c.add_argument("--skew", action="store_true")
     c.add_argument("--split-threshold", type=int, default=20000)
     c.add_argument("--cpus", type=int,
@@ -159,6 +169,12 @@ def main(argv=None) -> int:
         build_tiles_df, build_tileset_json, rollup_small_children)
     from py3dtiles_spark.sources.pages import generate_pages, pages_as_points
 
+    import time as _time
+    t_start = _time.time()
+    if args.overwrite and os.path.isdir(args.output):
+        import shutil as _shutil
+        _shutil.rmtree(args.output)
+
     ext = os.path.splitext((args.input or "").split(",")[0])[1].lower()
     if ext in (".las", ".xyz"):
         from py3dtiles_spark.plans.convert import convert_files
@@ -166,13 +182,22 @@ def main(argv=None) -> int:
                            checkpoint_dir=os.path.join(args.output, "checkpoint"))
         res = convert_files(spark, args.input.split(","), out_dir=args.output,
                             srs_in=args.srs_in, srs_out=args.srs_out,
-                            fraction=args.fraction, cfg=cfg,
+                            fraction=args.fraction, cfg=cfg, rgb=args.rgb,
+                            color_scale=args.color_scale,
                             write_pnts=args.write_pnts)
         print(json.dumps({"points": res.counters.get("points_assigned"),
                           "levels": len(res.counters["levels"]),
                           "tiles": res.tiles.count(),
                           "root_scale": res.root_scale,
                           "tileset_docs": list(res.tileset_docs)}))
+        if args.benchmark:
+            # reference benchmark line (convert.py:668-673):
+            # label,basenames,points,seconds
+            names = ",".join(os.path.basename(f)
+                             for f in args.input.split(","))
+            print(f"{args.benchmark},{names},"
+                  f"{res.counters.get('points_assigned')},"
+                  f"{round(_time.time() - t_start, 1)}")
         return 0
 
     if args.n_docs:

@@ -56,6 +56,7 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
                   srs_in: int | None = None, srs_out: int | None = None,
                   rgb: bool = True, fraction: int = 100,
                   cfg: TilingConfig | None = None,
+                  color_scale: float | None = None,
                   write_pnts: bool = False) -> ConvertResult:
     """The reference `convert()` as a Spark plan. srs_out=4978 with
     srs_in=4326/4979 triggers the ECEF + alignment-rotation path;
@@ -67,7 +68,8 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
 
     rotation = None
     if ext == ".las":
-        info = las_summary(paths, fraction=fraction)
+        # color_scale=None -> auto-detect (reference --color_scale force)
+        info = las_summary(paths, color_scale=color_scale, fraction=fraction)
     elif ext == ".xyz":
         info = xyz_summary(spark, paths)
     else:

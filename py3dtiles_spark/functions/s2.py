@@ -98,7 +98,14 @@ def s2_quad_id_expr(level: int, lon_col: str = "x",
                     lat_col: str = "y") -> Column:
     """face << 2L | morton(i, j) as one native column — hierarchical
     (parent cell = id >> 2), JVM-only, and reproducible in plain SQL
-    (the driver-gate oracle builds the identical arithmetic)."""
+    (the driver-gate oracle builds the identical arithmetic).
+
+    Level cap: face (3 bits, faces 4-5 need all three) sits at bit
+    positions [2*level, 2*level+2], which must stay below the sign bit
+    (position 63) of a signed long — 2*level+2 <= 62, i.e. level <= 30,
+    same bound as s2_cell_id's [0, MAX_LEVEL]."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     face, i, j = s2_face_ij_exprs(level, lon_col, lat_col)
     morton = F.lit(0).cast("long")
     for k in range(level):
@@ -113,6 +120,8 @@ def s2_quad_id_expr(level: int, lon_col: str = "x",
 def s2_quad_id_sql(level: int, lon_sql: str, lat_sql: str) -> str:
     """The DuckDB/ANSI twin of s2_quad_id_expr, as a SQL scalar expression
     string over lon/lat SQL sub-expressions — used by oracle_sql()."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     lim = 1 << level
     xyz = (f"cos(radians({lat_sql})) * cos(radians({lon_sql}))",
            f"cos(radians({lat_sql})) * sin(radians({lon_sql}))",
@@ -203,13 +212,36 @@ def s2_cell_id(lon, lat, level: int):
     """True S2-layout cell ids: face (3 bits) | Hilbert position (2*level
     bits) | sentinel 1 | zeros — i.e. face << 61 | pos << (61-2L) |
     1 << (60-2L), the standard 64-bit S2 encoding. Vectorized numpy; use
-    inside a pandas UDF / mapInPandas for the distributed path."""
+    inside a pandas UDF / mapInPandas for the distributed path.
+
+    Signed-interop caveat: canonical S2 ids are uint64, but Spark LongType
+    is signed int64, so ids on faces 4-5 set the sign bit and come out
+    negative here. The BIT PATTERN is identical to s2geometry's uint64
+    (``ids.view(np.uint64)`` or :func:`s2_id_uint64` recovers it exactly);
+    only numeric comparisons differ. For canonical uint64 ORDER under a
+    signed sort/range-partition, order by :func:`s2_sort_key` (sign-bit
+    flip, the standard order-preserving uint64<->int64 map) instead of the
+    raw id."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     face, i, j = _lonlat_to_face_ij(lon, lat, level)
     pos = _face_ij_to_pos(face, i, j, level)
     shift = 2 * (MAX_LEVEL - level) + 1
     return (face << (2 * MAX_LEVEL + 1)) | (pos << shift) | (1 << (shift - 1))
+
+
+def s2_id_uint64(ids) -> np.ndarray:
+    """Canonical uint64 view of signed int64 S2 ids (bit-identical
+    reinterpret) — use when comparing against real s2geometry libraries."""
+    return np.ascontiguousarray(np.asarray(ids, dtype=np.int64)) \
+        .view(np.uint64)
+
+
+def s2_sort_key(ids) -> np.ndarray:
+    """Signed int64 key whose < order equals canonical uint64 S2 order:
+    flip the sign bit (x ^ 2^63). Use for sorting / range-partitioning by
+    cell id in Spark, where LongType comparisons are signed."""
+    return np.asarray(ids, dtype=np.int64) ^ np.int64(-0x8000000000000000)
 
 
 def s2_cell_level(ids) -> np.ndarray:

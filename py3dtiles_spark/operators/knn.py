@@ -150,6 +150,29 @@ def lsh_signature_expr(dim: int, n_planes: int, seed: int = 42):
     return add_bucket
 
 
+def _probe_buckets(margins: np.ndarray, n_planes: int,
+                   n_probes: int) -> list[int]:
+    """Multi-probe LSH bucket list for one query given its hyperplane
+    margins. Standard multi-probe perturbation: candidate buckets are the
+    base signature with SUBSETS of the least-confident bits flipped,
+    ranked by the summed |margin| of the flipped bits (single-bit-only
+    probing plateaus at Hamming-1 recall). Subsets are drawn from the m
+    smallest margins, m capped so candidate count stays tiny."""
+    base = int(sum(1 << i for i, b in enumerate(margins > 0) if b))
+    if n_probes <= 1:
+        return [base]
+    import heapq
+    import itertools
+    order = np.argsort(np.abs(margins))
+    m = min(n_planes, 8)
+    cands = ((sum(abs(float(margins[order[i]])) for i in comb),
+              sum(1 << int(order[i]) for i in comb))
+             for r in range(1, m + 1)
+             for comb in itertools.combinations(range(m), r))
+    best = heapq.nsmallest(n_probes - 1, cands)
+    return [base] + [base ^ mask for _, mask in best]
+
+
 def ann_lsh_embeddings(emb: DataFrame, queries, k: int = 10,
                        n_planes: int = 8, dim: int | None = None,
                        n_probes: int = 1, seed: int = 42) -> DataFrame:
@@ -171,28 +194,8 @@ def ann_lsh_embeddings(emb: DataFrame, queries, k: int = 10,
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    def probe_buckets(v) -> list[int]:
-        margins = planes @ v
-        base = int(sum(1 << i for i, b in enumerate(margins > 0) if b))
-        if n_probes <= 1:
-            return [base]
-        # standard multi-probe perturbation: candidate buckets are base
-        # with SUBSETS of the least-confident bits flipped, ranked by the
-        # summed |margin| of the flipped bits (single-bit-only probing
-        # plateaus at Hamming-1 recall). Subsets are drawn from the m
-        # smallest margins, m capped so candidate count stays tiny.
-        import heapq
-        import itertools
-        order = np.argsort(np.abs(margins))
-        m = min(n_planes, 8)
-        cands = ((sum(abs(float(margins[order[i]])) for i in comb),
-                  sum(1 << int(order[i]) for i in comb))
-                 for r in range(1, m + 1)
-                 for comb in itertools.combinations(range(m), r))
-        best = heapq.nsmallest(n_probes - 1, cands)
-        return [base] + [base ^ mask for _, mask in best]
-
-    wanted = sorted({b for _, v in q for b in probe_buckets(v)})
+    wanted = sorted({b for _, v in q
+                     for b in _probe_buckets(planes @ v, n_planes, n_probes)})
     from pyspark.sql.types import LongType, StructField, StructType
     out_schema = StructType(list(emb.schema.fields)
                             + [StructField("bucket", LongType())])
@@ -210,11 +213,19 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
     queries are themselves a table). Physical shape: per-side norms
     computed map-side, broadcast nested-loop join against the (small)
     query table, cosine as a native zip_with/aggregate expression, then
-    one window per q_id for top-k. Zero Python anywhere.
+    TWO-STAGE top-k: a partition-local rank over (_pid, q_id) — the pid
+    column is stamped map-side, so the first exchange hashes on a key
+    that spreads every q_id across all input partitions (no single task
+    ever receives ~N rows) and each group is cut to k BEFORE the global
+    per-q_id window, which then ranks only k*Q*partitions candidate rows
+    (the same partial-then-final shape as knn_points' local_topk). The
+    vector columns are projected away before any exchange, so shuffles
+    carry (q_id, n_id, cos) triples, never embeddings. Zero Python.
 
     Broadcast bounds the query side by executor memory; for query sets
-    too big to broadcast, bucket BOTH sides with lsh_signature_expr and
-    equi-join (ann path) instead. Returns (q_id, n_id, cos, rank<=k)."""
+    too big to broadcast, use knn_join_bucketed (both sides stay
+    DataFrames, LSH-bucket equi-join). Returns (q_id, n_id, cos,
+    rank<=k)."""
     def norm(c):
         n = F.sqrt(F.aggregate(c, F.lit(0.0),
                                lambda a, x: a + x.cast("double") * x))
@@ -232,10 +243,105 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.zip_with("_ev", "_qv", lambda a, b: a.cast("double") * b),
         F.lit(0.0), lambda acc, x: acc + x)
     j = (e.crossJoin(F.broadcast(q))
-         .withColumn("cos", dot / (F.col("_en") * F.col("_qn"))))
+         .withColumn("cos", dot / (F.col("_en") * F.col("_qn")))
+         .withColumn("_pid", F.spark_partition_id())
+         .select("_pid", "q_id", "n_id", "cos"))
+    wl = Window.partitionBy("_pid", "q_id").orderBy(F.col("cos").desc(),
+                                                    F.col("n_id").asc())
+    local = (j.withColumn("_lr", F.row_number().over(wl))
+              .filter(F.col("_lr") <= k).drop("_lr", "_pid"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("n_id").asc())
-    return (j.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (local.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cos", "rank"))
+
+
+def knn_join_bucketed(emb: DataFrame, queries: DataFrame, k: int = 10,
+                      n_planes: int = 8, n_probes: int = 1,
+                      dim: int | None = None, seed: int = 42,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      q_id_col: str = "q_id", q_vec_col: str = "qv") -> DataFrame:
+    """Batch kNN join for query sets too big to broadcast or collect —
+    the scale path _check_query_count points at. BOTH sides stay
+    DataFrames end to end:
+
+    1. table side gets its LSH bucket (one Arrow pass, lsh_signature_expr
+       planes, seed-shared);
+    2. query side gets its n_probes multi-probe buckets (same planes,
+       same seed — signatures can never drift), exploded to one row per
+       (query, probed bucket);
+    3. candidates = equi-join on bucket — a hash shuffle of
+       ~n_probes/2^n_planes of the table per query region, never a cross
+       product and never a driver collect;
+    4. exact cosine on candidates as native zip_with/aggregate exprs;
+       multi-probe duplicates collapse via groupBy(q_id, n_id) max (a
+       map-side-combined agg, skipped when n_probes == 1 since buckets
+       are then disjoint);
+    5. the same partition-local-then-global two-stage top-k as knn_join.
+
+    Exact within the probed buckets: with n_probes == 2**n_planes every
+    bucket is probed and the result equals the exact kNN join (the
+    oracle-checked configuration); at production settings recall follows
+    ann_lsh_embeddings (same signatures, same probe sequence).
+    Returns (q_id, n_id, cos, rank<=k)."""
+    if dim is None:
+        dim = emb.select(F.size(vec_col)).first()[0]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def table_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ planes.T) > 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_planes):
+                bucket |= bits[:, b].astype(np.int64) << b
+            yield pd.DataFrame({"n_id": pdf[id_col].to_numpy(),
+                                "_ev": pdf[vec_col],
+                                "bucket": bucket})
+
+    def query_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[q_vec_col].to_numpy()).astype(np.float64)
+            margins = m @ planes.T                    # (Q, n_planes)
+            qid, qv, bk = [], [], []
+            for row_i in range(len(pdf)):
+                for b in _probe_buckets(margins[row_i], n_planes, n_probes):
+                    qid.append(pdf[q_id_col].iat[row_i])
+                    qv.append(pdf[q_vec_col].iat[row_i])
+                    bk.append(b)
+            yield pd.DataFrame({"q_id": qid, "_qv": qv,
+                                "bucket": np.array(bk, dtype=np.int64)})
+
+    vec_type = dict(emb.dtypes)[vec_col]
+    q_vec_type = dict(queries.dtypes)[q_vec_col]
+    e_b = emb.mapInPandas(
+        table_buckets, schema=f"n_id long, _ev {vec_type}, bucket long")
+    q_b = queries.mapInPandas(
+        query_buckets, schema=f"q_id long, _qv {q_vec_type}, bucket long")
+
+    def norm(c):
+        n = F.sqrt(F.aggregate(c, F.lit(0.0),
+                               lambda a, x: a + x.cast("double") * x))
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+    dot = F.aggregate(
+        F.zip_with("_ev", "_qv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (e_b.join(q_b, "bucket")
+            .withColumn("cos", dot / (norm(F.col("_ev")) * norm(F.col("_qv"))))
+            .select("q_id", "n_id", "cos"))
+    if n_probes > 1:
+        cand = cand.groupBy("q_id", "n_id").agg(F.max("cos").alias("cos"))
+    cand = cand.withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid", "q_id").orderBy(F.col("cos").desc(),
+                                                    F.col("n_id").asc())
+    local = (cand.withColumn("_lr", F.row_number().over(wl))
+             .filter(F.col("_lr") <= k).drop("_lr", "_pid"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("n_id").asc())
+    return (local.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "cos", "rank"))
 
@@ -278,7 +384,10 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray, queries,
         for _, v in q
         for l in np.argsort(((centroids - v) ** 2).sum(axis=1))[:n_probe]})
     cand = assigned.filter(F.col("list_id").isin(wanted))
-    return knn_embeddings(cand.select(id_col, vec_col), q, k)
+    # knn_embeddings hardcodes vec_id/embedding; alias custom names in
+    return knn_embeddings(
+        cand.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding")), q, k)
 
 
 def ivf_recall(emb: DataFrame, queries, k: int = 10, n_lists: int = 16,

@@ -54,21 +54,55 @@ def ray_cast_mask(px: np.ndarray, py: np.ndarray,
     return inside
 
 
+def even_odd_mask(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd containment of N points against a polygon given as a list
+    of rings [(xs, ys), ...] — exterior first, then holes. XOR of the
+    per-ring crossing masks IS the even-odd rule over the whole boundary:
+    a point inside the exterior but also inside a hole ring crosses an odd
+    number of edges twice, so the bits cancel and it tests OUTSIDE (the
+    donut semantics real admin boundaries — enclaves, lake islands —
+    need)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for xs, ys in rings:
+        inside ^= ray_cast_mask(px, py, xs, ys)
+    return inside
+
+
+def _collect_rings(polygons: DataFrame):
+    """[(geom_id, [(xs, ys) exterior, (xs, ys) hole, ...]), ...] from a
+    polygons DataFrame with exterior `xs`/`ys` and optional hole columns
+    `hxs`/`hys` (array<array<double>>, one entry per hole ring)."""
+    has_holes = "hxs" in polygons.columns and "hys" in polygons.columns
+    cols = ["geom_id", "xs", "ys"] + (["hxs", "hys"] if has_holes else [])
+    out = []
+    for r in polygons.select(*cols).collect():
+        rings = [(np.asarray(r["xs"], dtype=np.float64),
+                  np.asarray(r["ys"], dtype=np.float64))]
+        if has_holes and r["hxs"] is not None:
+            rings += [(np.asarray(hx, dtype=np.float64),
+                       np.asarray(hy, dtype=np.float64))
+                      for hx, hy in zip(r["hxs"], r["hys"])]
+        out.append((r["geom_id"], rings))
+    return out
+
+
 def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                           keep_cols=("point_id",)) -> DataFrame:
-    """Exact PIP join. polygons: (geom_id, xs array<double>, ys array<double>)
-    exterior rings. Polygons are collected + broadcast (dim-table sized);
-    the ray cast runs as one Arrow-batched mapInPandas over the points —
-    no per-row Python, no shuffle.
+    """Exact PIP join. polygons: (geom_id, xs array<double>, ys
+    array<double>) exterior rings, plus OPTIONAL hole rings as
+    `hxs`/`hys` array<array<double>> columns — containment is then the
+    even-odd rule across all rings (donut polygons supported). Polygons
+    are collected + broadcast (dim-table sized); the ray cast runs as one
+    Arrow-batched mapInPandas over the points — no per-row Python, no
+    shuffle.
 
     Returns one row per (point, containing polygon): keep_cols + geom_id.
     """
-    polys = [(r["geom_id"],
-              np.asarray(r["xs"], dtype=np.float64),
-              np.asarray(r["ys"], dtype=np.float64))
-             for r in polygons.select("geom_id", "xs", "ys").collect()]
-    bboxes = [(g, xs.min(), xs.max(), ys.min(), ys.max())
-              for g, xs, ys in polys]
+    polys = _collect_rings(polygons)
+    # bbox prefilter from the exterior ring only (holes lie inside it)
+    bboxes = [(g, rings[0][0].min(), rings[0][0].max(),
+               rings[0][1].min(), rings[0][1].max())
+              for g, rings in polys]
     keep = list(keep_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -76,12 +110,12 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
             px = pdf["x"].to_numpy(dtype=np.float64)
             py = pdf["y"].to_numpy(dtype=np.float64)
             outs = []
-            for (g, xs, ys), (_, x0, x1, y0, y1) in zip(polys, bboxes):
+            for (g, rings), (_, x0, x1, y0, y1) in zip(polys, bboxes):
                 cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
                 if not cand.any():
                     continue
                 idx = np.flatnonzero(cand)
-                hit = ray_cast_mask(px[idx], py[idx], xs, ys)
+                hit = even_odd_mask(px[idx], py[idx], rings)
                 if hit.any():
                     rows = pdf.iloc[idx[hit]][keep].copy()
                     rows["geom_id"] = g
@@ -116,20 +150,47 @@ def point_cell_id(cell_deg: float):
 
 
 def polygon_cell_cover(xs: np.ndarray, ys: np.ndarray,
-                       cell_deg: float) -> set:
+                       cell_deg: float, holes=None) -> set:
     """EXACT cell cover of one polygon: the set of grid cells whose square
     intersects the polygon interior/boundary — the tight replacement for
     the bbox cover when polygons are thin or diagonal (a country-sized
     diagonal polygon's bbox cover can be many times its true cover).
+    `holes`: optional list of (hxs, hys) hole rings — hole boundaries join
+    the supercover and interior centers use the even-odd rule, so cells
+    strictly inside a hole drop out of the cover (they can hold no hit).
 
     Construction (exact, no heuristics):
-    1. edge supercover — grid DDA over every boundary edge marks every
-       cell the boundary passes through (always in the cover);
+    1. edge supercover — grid DDA over every boundary edge (exterior AND
+       hole rings) marks every cell the boundary passes through (always
+       in the cover);
     2. every remaining bbox cell contains NO boundary, so it is entirely
        inside or entirely outside — its center decides via the same
-       ray-cast the exact join uses.
+       even-odd ray-cast the exact join uses.
     """
     cells: set = set()
+    rings = [(xs, ys)] + [(np.asarray(hx, dtype=np.float64),
+                           np.asarray(hy, dtype=np.float64))
+                          for hx, hy in (holes or [])]
+    for rxs, rys in rings:
+        _edge_supercover(rxs, rys, cell_deg, cells)
+    # 2. interior cells: even-odd center-inside among non-boundary cells
+    cx0 = int(np.floor(xs.min() / cell_deg))
+    cx1 = int(np.floor(xs.max() / cell_deg))
+    cy0 = int(np.floor(ys.min() / cell_deg))
+    cy1 = int(np.floor(ys.max() / cell_deg))
+    gx, gy = np.meshgrid(np.arange(cx0, cx1 + 1), np.arange(cy0, cy1 + 1))
+    gx, gy = gx.ravel(), gy.ravel()
+    boundary = np.array([(int(a), int(b)) in cells
+                         for a, b in zip(gx, gy)])
+    centers_x = (gx + 0.5) * cell_deg
+    centers_y = (gy + 0.5) * cell_deg
+    inside = even_odd_mask(centers_x, centers_y, rings) & ~boundary
+    cells.update(zip(gx[inside].tolist(), gy[inside].tolist()))
+    return cells
+
+
+def _edge_supercover(xs: np.ndarray, ys: np.ndarray,
+                     cell_deg: float, cells: set) -> None:
     n = len(xs)
     # 1. boundary supercover: exact Amanatides-Woo grid traversal per
     # edge — visits precisely the cells the segment passes through; on an
@@ -166,18 +227,6 @@ def polygon_cell_cover(xs: np.ndarray, ys: np.ndarray,
                 cy += step_y
                 tmax_y += tdy
             cells.add((cx, cy))
-    # 2. interior cells: center-inside among non-boundary bbox cells
-    cx0 = int(np.floor(xs.min() / cell_deg))
-    cx1 = int(np.floor(xs.max() / cell_deg))
-    cy0 = int(np.floor(ys.min() / cell_deg))
-    cy1 = int(np.floor(ys.max() / cell_deg))
-    gx, gy = np.meshgrid(np.arange(cx0, cx1 + 1), np.arange(cy0, cy1 + 1))
-    gx, gy = gx.ravel(), gy.ravel()
-    centers_x = (gx + 0.5) * cell_deg
-    centers_y = (gy + 0.5) * cell_deg
-    inside = ray_cast_mask(centers_x, centers_y, xs, ys)
-    cells.update(zip(gx[inside].tolist(), gy[inside].tolist()))
-    return cells
 
 
 def point_in_polygon_join_large(points: DataFrame, polygons: DataFrame,
@@ -200,29 +249,43 @@ def point_in_polygon_join_large(points: DataFrame, polygons: DataFrame,
     polygon side): identical join results — both covers are supersets of
     every cell holding a hit — but thin/diagonal polygons produce far
     fewer candidate rows, at the price of Python on the (small) polygon
-    side."""
+    side.
+
+    Hole rings (`hxs`/`hys` array<array<double>> columns, optional)
+    travel with the polygon through the equi-join and the exact kernel
+    applies the even-odd rule across all rings; with exact_cover the
+    hole boundaries join the supercover and hole interiors drop out of
+    the cover entirely."""
+    has_holes = "hxs" in polygons.columns and "hys" in polygons.columns
+    ring_cols = ["xs", "ys"] + (["hxs", "hys"] if has_holes else [])
+    ring_schema = "xs array<double>, ys array<double>" + (
+        ", hxs array<array<double>>, hys array<array<double>>"
+        if has_holes else "")
     if exact_cover:
         def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
-                for g, xs, ys in zip(pdf["geom_id"], pdf["xs"], pdf["ys"]):
-                    xs64 = np.asarray(xs, dtype=np.float64)
-                    ys64 = np.asarray(ys, dtype=np.float64)
-                    for ccx, ccy in polygon_cell_cover(xs64, ys64, cell_deg):
-                        rows.append((int(g), ccx * 100000 + ccy, xs, ys))
-                yield pd.DataFrame(rows, columns=["geom_id", "cell_id",
-                                                  "xs", "ys"])
+                for t in pdf.itertuples(index=False):
+                    xs64 = np.asarray(t.xs, dtype=np.float64)
+                    ys64 = np.asarray(t.ys, dtype=np.float64)
+                    holes = (list(zip(t.hxs, t.hys))
+                             if has_holes and t.hxs is not None else None)
+                    for ccx, ccy in polygon_cell_cover(xs64, ys64, cell_deg,
+                                                       holes=holes):
+                        rows.append((int(t.geom_id), ccx * 100000 + ccy)
+                                    + tuple(getattr(t, c) for c in ring_cols))
+                yield pd.DataFrame(rows, columns=["geom_id", "cell_id"]
+                                   + ring_cols)
 
-        poly_cells = polygons.select("geom_id", "xs", "ys").mapInPandas(
-            cover, schema="geom_id long, cell_id long, "
-                          "xs array<double>, ys array<double>")
+        poly_cells = polygons.select("geom_id", *ring_cols).mapInPandas(
+            cover, schema=f"geom_id long, cell_id long, {ring_schema}")
     else:
         cx = F.explode(F.sequence(
             F.floor(F.array_min("xs") / cell_deg).cast("long"),
             F.floor(F.array_max("xs") / cell_deg).cast("long"))).alias("cx")
         poly_cells = (polygons
-                      .select("geom_id", "xs", "ys", cx)
-                      .select("geom_id", "xs", "ys", "cx",
+                      .select("geom_id", *ring_cols, cx)
+                      .select("geom_id", *ring_cols, "cx",
                               F.explode(F.sequence(
                                   F.floor(F.array_min("ys") / cell_deg)
                                   .cast("long"),
@@ -231,17 +294,21 @@ def point_in_polygon_join_large(points: DataFrame, polygons: DataFrame,
                       .withColumn("cell_id",
                                   F.col("cx") * 100000 + F.col("cy")))
     pts = points.withColumn("cell_id", point_cell_id(cell_deg))
-    cand = pts.join(poly_cells.select("geom_id", "cell_id", "xs", "ys"),
+    cand = pts.join(poly_cells.select("geom_id", "cell_id", *ring_cols),
                     "cell_id")
     keep = list(keep_cols)
     schema = ", ".join(
         f"{c} {dict(points.dtypes)[c]}" for c in keep) + ", geom_id long"
 
     def exact(pdf: pd.DataFrame) -> pd.DataFrame:
-        xs = np.asarray(pdf["xs"].iat[0], dtype=np.float64)
-        ys = np.asarray(pdf["ys"].iat[0], dtype=np.float64)
-        hit = ray_cast_mask(pdf["x"].to_numpy(np.float64),
-                            pdf["y"].to_numpy(np.float64), xs, ys)
+        rings = [(np.asarray(pdf["xs"].iat[0], dtype=np.float64),
+                  np.asarray(pdf["ys"].iat[0], dtype=np.float64))]
+        if has_holes and pdf["hxs"].iat[0] is not None:
+            rings += [(np.asarray(hx, dtype=np.float64),
+                       np.asarray(hy, dtype=np.float64))
+                      for hx, hy in zip(pdf["hxs"].iat[0], pdf["hys"].iat[0])]
+        hit = even_odd_mask(pdf["x"].to_numpy(np.float64),
+                            pdf["y"].to_numpy(np.float64), rings)
         out = pdf.loc[hit, keep + ["geom_id"]]
         return out
 

@@ -73,7 +73,11 @@ def _parse_chunk(path: str, start: int, end: int):
         ncols = arr.shape[1]
     except ValueError:
         # ragged or non-numeric rows (headers/comments): keep only rows
-        # that fully parse, column count set by the first numeric row
+        # that fully parse; column count by MAJORITY VOTE across parsed
+        # rows (an anomalous first data row — e.g. a truncated 3-col line
+        # in an xyzrgb file — must not silently drop the rgb columns or
+        # discard the valid rows)
+        from collections import Counter
         parsed = []
         for r in rows:
             try:
@@ -82,7 +86,9 @@ def _parse_chunk(path: str, start: int, end: int):
                 continue
         if not parsed:
             return np.zeros((0, 3)), None
-        ncols = len(parsed[0])
+        counts = Counter(len(r) for r in parsed)
+        # ties break toward the wider layout so color columns survive
+        ncols = max(counts, key=lambda c: (counts[c], c))
         arr = np.array([r for r in parsed if len(r) == ncols],
                        dtype=np.float64)
     xyz = arr[:, :3]

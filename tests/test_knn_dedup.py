@@ -159,6 +159,65 @@ def test_knn_join_matches_collected_path(spark):
         assert marker not in plan
 
 
+def test_knn_join_local_prerank_stage_present(spark):
+    """The r3 weak spot fix: knn_join must cut candidates to k per input
+    partition BEFORE the global per-q_id window (two Window stages in the
+    plan; the first partitioned by (_pid, q_id)), and no shuffle may carry
+    the embedding arrays (the projection to (q_id, n_id, cos) happens
+    map-side)."""
+    from py3dtiles_spark.operators.knn import knn_join
+    from pyspark.sql import functions as F
+    df, _ = _emb_df(spark, n=200, dim=8, seed=13)
+    q = (df.filter("vec_id < 5")
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qv")))
+    joined = knn_join(df, q, k=4)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "_pid" in plan
+    # no exchange ships the vector columns
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "_ev" not in line and "_qv" not in line
+
+
+def test_knn_join_bucketed_exhaustive_is_exact(spark):
+    """knn_join_bucketed with n_probes = 2^n_planes probes every bucket,
+    so it must equal the exact broadcast knn_join rank-for-rank — and the
+    query side must never be collected (it stays a DataFrame)."""
+    from py3dtiles_spark.operators.knn import knn_join, knn_join_bucketed
+    from pyspark.sql import functions as F
+    df, _ = _emb_df(spark, n=200, dim=8, seed=21)
+    q = (df.filter("vec_id < 30")
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qv")))
+    exact = {(r.q_id, r.rank): r.n_id for r in knn_join(df, q, k=4).collect()}
+    got = {(r.q_id, r.rank): r.n_id
+           for r in knn_join_bucketed(df, q, k=4, n_planes=3,
+                                      n_probes=8).collect()}
+    assert got == exact
+
+
+def test_knn_join_bucketed_recall_at_production_config(spark):
+    """At a realistic probe budget (4 probes over 16 buckets = ~25%
+    expected scan) the bucketed join must keep decent recall vs exact and
+    must always find each query's self-neighbour at rank 1."""
+    from py3dtiles_spark.operators.knn import knn_join, knn_join_bucketed
+    from pyspark.sql import functions as F
+    df, _ = _emb_df(spark, n=400, dim=16, seed=31)
+    q = (df.filter("vec_id < 10")
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qv")))
+    exact = {(r.q_id, r.n_id) for r in knn_join(df, q, k=5).collect()}
+    approx_rows = knn_join_bucketed(df, q, k=5, n_planes=4,
+                                    n_probes=4).collect()
+    approx = {(r.q_id, r.n_id) for r in approx_rows}
+    assert len(exact & approx) / len(exact) >= 0.5
+    for r in approx_rows:
+        if r.rank == 1:
+            assert r.n_id == r.q_id      # self always shares every bucket
+
+
 SF001_EMB = "/root/testdata/sf0.01/embeddings.parquet"
 
 

@@ -101,3 +101,35 @@ def test_exprs_match_numpy(spark):
         morton |= (((i >> k) & 1) << (2 * k + 1)) | (((j >> k) & 1) << (2 * k))
     np.testing.assert_array_equal(out["s2_quad"].to_numpy(),
                                   (face << (2 * level)) | morton)
+
+
+def test_uint64_interop_and_sort_key():
+    """ADVICE r3: faces 4-5 set the sign bit. The uint64 view must be
+    bit-identical to the canonical encoding, and s2_sort_key must order
+    signed ids in canonical uint64 order (faces 0..5 monotone)."""
+    from py3dtiles_spark.functions.s2 import s2_id_uint64, s2_sort_key
+    lons = np.array([0.0, 90.0, 179.0, -179.0, -90.0, 10.0])
+    lats = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 89.0])
+    ids = s2_cell_id(lons, lats, 8)
+    assert (ids < 0).any()                      # faces 4-5 present
+    u = s2_id_uint64(ids)
+    assert u.dtype == np.uint64
+    np.testing.assert_array_equal(u, ids.view(np.uint64))
+    # sort by signed key == sort by canonical uint64 value
+    key_order = np.argsort(s2_sort_key(ids), kind="stable")
+    uint_order = np.argsort(u, kind="stable")
+    np.testing.assert_array_equal(key_order, uint_order)
+    # face field increases along canonical order for equator walk
+    faces = (u >> np.uint64(61)) & np.uint64(7)
+    assert list(faces[uint_order]) == sorted(faces)
+
+
+def test_quad_id_level_guard():
+    with pytest.raises(ValueError):
+        s2_quad_id_expr(31)
+    with pytest.raises(ValueError):
+        s2_quad_id_expr(-1)
+    from py3dtiles_spark.functions.s2 import s2_quad_id_sql
+    with pytest.raises(ValueError):
+        s2_quad_id_sql(31, "x", "y")
+    s2_quad_id_expr(30)       # max level is fine (face bits at 60..62)

@@ -246,3 +246,20 @@ def test_convert_files_lambert_cc_srs_in(spark, tmp_path):
     ext = max(max(abs(t.min_x), abs(t.max_x), abs(t.min_y), abs(t.max_y),
                   abs(t.min_z), abs(t.max_z)) for t in tiles)
     assert ext < 20.0
+
+
+def test_xyz_ragged_majority_vote(spark, tmp_path):
+    """ADVICE r3: a truncated first data row must not pin the column
+    count — majority vote keeps the 6-col xyzrgb layout and its colors."""
+    p = tmp_path / "ragged.xyz"
+    p.write_text("# comment header\n"
+                 "1.0 2.0 3.0\n"                 # anomalous 3-col row
+                 "4.0 5.0 6.0 10 20 30\n"
+                 "7.0 8.0 9.0 40 50 60\n"
+                 "1.5 2.5 3.5 70 80 90\n")
+    from py3dtiles_spark.sources.xyz import _parse_chunk
+    import os
+    xyz, rgb = _parse_chunk(str(p), 0, os.path.getsize(p))
+    assert xyz.shape == (3, 3)                   # majority = 6 cols
+    assert rgb is not None and rgb.shape == (3, 3)
+    assert rgb[0].tolist() == [10.0, 20.0, 30.0]

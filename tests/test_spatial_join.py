@@ -116,3 +116,71 @@ def test_route_to_quadrant(spark):
     aabb = [[-10.0, -10.0, 0.0], [10.0, 10.0, 1.0]]
     got = {r.id: r.quadrant for r in route_to_quadrant(items, aabb).collect()}
     assert got == {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+# ------------------------------------------------------------- hole rings --
+
+def _donut_polys(spark):
+    """Square [0,8]^2 with hole [2,6]^2, plus a hole-less triangle — the
+    optional hxs/hys columns must coexist with NULL-hole rows."""
+    return spark.createDataFrame(
+        [(1, [0.0, 8.0, 8.0, 0.0], [0.0, 0.0, 8.0, 8.0],
+          [[2.0, 6.0, 6.0, 2.0]], [[2.0, 2.0, 6.0, 6.0]]),
+         (2, [-8.0, -2.0, -5.0], [-8.0, -8.0, -2.0], None, None)],
+        "geom_id long, xs array<double>, ys array<double>, "
+        "hxs array<array<double>>, hys array<array<double>>")
+
+
+def _donut_oracle(xy):
+    exp = set()
+    outer = ray_cast_mask(xy[:, 0], xy[:, 1],
+                          np.array([0., 8, 8, 0]), np.array([0., 0, 8, 8]))
+    hole = ray_cast_mask(xy[:, 0], xy[:, 1],
+                         np.array([2., 6, 6, 2]), np.array([2., 2, 6, 6]))
+    exp |= {(int(i), 1) for i in np.flatnonzero(outer & ~hole)}
+    tri = ray_cast_mask(xy[:, 0], xy[:, 1],
+                        np.array([-8., -2, -5]), np.array([-8., -8, -2]))
+    exp |= {(int(i), 2) for i in np.flatnonzero(tri)}
+    return exp
+
+
+def test_pip_donut_point_inside_hole_excluded(spark):
+    pts = spark.createDataFrame(
+        [(0, 4.0, 4.0),     # dead center of the hole -> no match
+         (1, 1.0, 1.0),     # in the ring -> match
+         (2, 9.0, 9.0)],    # outside -> no match
+        "point_id long, x double, y double")
+    out = point_in_polygon_join(pts, _donut_polys(spark))
+    got = {(r.point_id, r.geom_id) for r in out.collect()}
+    assert got == {(1, 1)}
+
+
+def test_pip_donut_broadcast_matches_oracle(spark):
+    points, xy = _pts(spark)
+    out = point_in_polygon_join(points, _donut_polys(spark))
+    got = {(r.point_id, r.geom_id) for r in out.collect()}
+    assert got == _donut_oracle(xy)
+
+
+def test_pip_donut_large_both_covers_match(spark):
+    points, xy = _pts(spark)
+    want = _donut_oracle(xy)
+    for exact in (False, True):
+        out = point_in_polygon_join_large(points, _donut_polys(spark),
+                                          cell_deg=3.0, exact_cover=exact)
+        got = {(r.point_id, r.geom_id) for r in out.collect()}
+        assert got == want, f"exact_cover={exact}"
+
+
+def test_polygon_cell_cover_hole_interior_dropped():
+    """Cells strictly inside a hole leave the exact cover; hole-boundary
+    cells stay (they can hold ring points)."""
+    from py3dtiles_spark.operators.spatial_join import polygon_cell_cover
+    xs = np.array([0.0, 10.0, 10.0, 0.0])
+    ys = np.array([0.0, 0.0, 10.0, 10.0])
+    hole = ([3.0, 7.0, 7.0, 3.0], [3.0, 3.0, 7.0, 7.0])
+    full = polygon_cell_cover(xs, ys, 1.0)
+    holed = polygon_cell_cover(xs, ys, 1.0, holes=[hole])
+    assert (5, 5) in full and (5, 5) not in holed   # deep inside the hole
+    assert (3, 3) in holed                          # hole boundary cell
+    assert holed < full

@@ -228,9 +228,15 @@ def ear_clip(rings2d: list[np.ndarray],
     return tris
 
 
-def triangulate_polygon(polygon: list) -> list:
+def triangulate_polygon(polygon: list, data_polygons: list | None = None):
     """[ring f32 (n,3)] -> list of float32 (3,3) triangles, oriented to the
-    outer ring's normal (reference triangulate, wkb_utils.py:178-218)."""
+    outer ring's normal (reference triangulate, wkb_utils.py:178-218).
+
+    data_polygons: optional list of SAME-TOPOLOGY polygons carrying
+    per-vertex data (e.g. the UV multipolygon the reference threads as
+    `additionalPolygons`, wkb_utils.py:210-231): the triangulation indices
+    — including the orientation flip — are applied verbatim to each, and
+    the return becomes (tris, [data_tris per dataset])."""
     outer = polygon[0]
     v1 = outer[1] - outer[0]
     v2 = outer[2] - outer[0]
@@ -245,27 +251,51 @@ def triangulate_polygon(polygon: list) -> list:
     rings2d = [np.asarray(r, dtype=np.float64)[:, proj] for r in polygon]
     tris_idx = ear_clip(rings2d)
     out = []
+    extra = [[] for _ in (data_polygons or [])]
     for (r0, i0), (r1, i1), (r2, i2) in tris_idx:
         p0 = polygon[r0][i0]
         p1 = polygon[r1][i1]
         p2 = polygon[r2][i2]
         cross = np.cross((p1 - p0).astype(np.float64),
                          (p2 - p0).astype(np.float64))
-        if float(np.dot(normal, cross)) < 0:
+        invert = float(np.dot(normal, cross)) < 0
+        if invert:
             out.append(np.stack([p1, p0, p2]))
         else:
             out.append(np.stack([p0, p1, p2]))
-    return out
+        for arr, dp in zip(extra, data_polygons or []):
+            q0, q1, q2 = dp[r0][i0], dp[r1][i1], dp[r2][i2]
+            arr.append(np.stack([q1, q0, q2] if invert else [q0, q1, q2]))
+    if data_polygons is None:
+        return out
+    return out, extra
 
 
-def wkb_to_triangles(wkb: bytes) -> list:
-    """MultiPolygon WKB -> flat list of float32 (3,3) triangles."""
+def wkb_to_triangles(wkb: bytes, associated: list | None = None):
+    """MultiPolygon WKB -> flat list of float32 (3,3) triangles.
+    `associated`: optional list of same-topology multipolygon WKBs
+    (per-vertex data, e.g. UVs — reference
+    TriangleSoup.from_wkb_multipolygon's associatedData,
+    wkb_utils.py:12-55); when given, returns (tris, [data_tris per
+    associated wkb]) with identical indices/orientation."""
+    if associated is None:
+        tris = []
+        for polygon in parse_wkb_multipolygon(wkb):
+            if len(polygon[0]) < 3:
+                continue
+            tris.extend(triangulate_polygon(polygon))
+        return tris
+    data_mps = [parse_wkb_multipolygon(a) for a in associated]
     tris = []
-    for polygon in parse_wkb_multipolygon(wkb):
+    extras = [[] for _ in associated]
+    for pi, polygon in enumerate(parse_wkb_multipolygon(wkb)):
         if len(polygon[0]) < 3:
             continue
-        tris.extend(triangulate_polygon(polygon))
-    return tris
+        t, e = triangulate_polygon(polygon, [mp[pi] for mp in data_mps])
+        tris.extend(t)
+        for acc, part in zip(extras, e):
+            acc.extend(part)
+    return tris, extras
 
 
 def triangles_to_arrays(tris: list):
@@ -287,3 +317,14 @@ def triangles_to_arrays(tris: list):
     bbox = [positions.min(axis=0).astype(float).tolist(),
             positions.max(axis=0).astype(float).tolist()]
     return positions.tobytes(), normals.tobytes(), bbox
+
+
+def data_triangles_to_array(tris: list, dim: int = 2) -> bytes:
+    """Per-vertex data triangles -> f32 bytes keeping the first `dim`
+    components per vertex (UVs: dim=2) — TriangleSoup.getDataArray
+    (wkb_utils.py:71-85); 2D WKB parses with a padded zero z that is
+    dropped here."""
+    if not tris:
+        return b""
+    stack = np.stack(tris).astype(np.float32)         # (T,3,C)
+    return np.ascontiguousarray(stack[:, :, :dim]).reshape(-1).tobytes()

@@ -155,25 +155,36 @@ def assign_quadtree(features: DataFrame,
 
 def build_b3dm_tiles(assigned: DataFrame, transform=None,
                      id_col: str = "geom_id",
-                     with_batch_table: bool = True) -> DataFrame:
+                     with_batch_table: bool = True,
+                     texture_uri: str | None = None) -> DataFrame:
     """(features + node_id) -> one row per node: (node_id, n_features,
-    b3dm binary). Executor-side packing, tile-sized rows out."""
+    b3dm binary). Executor-side packing, tile-sized rows out.
+
+    Textured path: when the input carries a `uvs` binary column
+    (per-vertex f32 UV pairs from wkb_to_triangles(associated=...) +
+    data_triangles_to_array) and texture_uri is set, tiles are emitted as
+    textured glb (reference gltf.py textured branch)."""
     from py3dtiles_spark.sources.b3dm import b3dm_bytes, gltf_from_arrays
     identity = np.identity(4).flatten("F").tolist()
     tf = identity if transform is None else list(transform)
+    textured = texture_uri is not None and "uvs" in assigned.columns
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="stable")
         arrays = []
         gids = []
         for r in pdf.itertuples(index=False):
-            arrays.append({
+            a = {
                 "position": bytes(r.positions),
                 "normal": bytes(r.normals),
                 "bbox": [[r.min_x, r.min_y, r.min_z],
-                         [r.max_x, r.max_y, r.max_z]]})
+                         [r.max_x, r.max_y, r.max_z]]}
+            if textured:
+                a["uv"] = bytes(r.uvs)
+            arrays.append(a)
             gids.append(int(getattr(r, id_col)))
-        glb = gltf_from_arrays(arrays, tf, batched=True)
+        glb = gltf_from_arrays(arrays, tf, batched=True,
+                               texture_uri=texture_uri)
         bt = {"id": gids} if with_batch_table else None
         return pd.DataFrame({
             "node_id": [pdf["node_id"].iat[0]],

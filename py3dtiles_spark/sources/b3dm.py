@@ -19,23 +19,39 @@ GLB_MAGIC = 0x46546C67
 
 
 def gltf_header_json(bin_vertices: list, n_vertices: list, bboxes: list,
-                     transform, batched: bool, batch_length: int) -> dict:
-    """The glTF 2.0 JSON for batched position+normal meshes — field-for-
-    field the reference compute_header (gltf.py:153-318, untextured path)."""
+                     transform, batched: bool, batch_length: int,
+                     textured: bool = False,
+                     texture_uri: str | None = None) -> dict:
+    """The glTF 2.0 JSON for batched position+normal(+uv) meshes — field-
+    for-field the reference compute_header (gltf.py:153-318, both the
+    untextured and textured branches; the textured body layout is
+    positions | normals | uvs | batchids, uv bytes = 2/3 of positions)."""
     size_vce = [len(b) for b in bin_vertices]
     total = sum(size_vce)
-    byte_length = 2 * total + (int(round(total / 3)) if batched else 0)
+    byte_length = 2 * total
+    if textured:
+        byte_length += int(round(2 * total / 3))
+    if batched:
+        byte_length += int(round(total / 3))
 
     buffer_views = [
         {"buffer": 0, "byteLength": total, "byteOffset": 0, "target": 34962},
         {"buffer": 0, "byteLength": total, "byteOffset": total,
          "target": 34962},
     ]
-    if batched:
+    if textured:
         buffer_views.append({"buffer": 0,
-                             "byteLength": int(round(total / 3)),
+                             "byteLength": int(round(2 * total / 3)),
                              "byteOffset": 2 * total, "target": 34962})
+    if batched:
+        buffer_views.append({
+            "buffer": 0,
+            "byteLength": int(round(total / 3)),
+            "byteOffset": (int(round(8 / 3 * total)) if textured
+                           else 2 * total),
+            "target": 34962})
 
+    n_attrs = 3 if textured else 2
     accessors = []
     for i in range(len(bin_vertices)):
         bb = bboxes[i]
@@ -51,33 +67,55 @@ def gltf_header_json(bin_vertices: list, n_vertices: list, bboxes: list,
             "bufferView": 1, "byteOffset": sum(size_vce[:i]),
             "componentType": 5126, "count": n_vertices[i],
             "max": [1, 1, 1], "min": [-1, -1, -1], "type": "VEC3"})
+        if textured:
+            # reference quirk preserved: uv count is the TOTAL vertex
+            # count, not this mesh's (gltf.py:230-237)
+            accessors.append({
+                "bufferView": 2,
+                "byteOffset": int(round(2 / 3 * sum(size_vce[:i]))),
+                "componentType": 5126, "count": sum(n_vertices),
+                "max": [1, 1], "min": [0, 0], "type": "VEC2"})
     if batched:
         accessors.append({
-            "bufferView": 2, "byteOffset": 0, "componentType": 5126,
+            "bufferView": 3 if textured else 2,
+            "byteOffset": 0, "componentType": 5126,
             "count": n_vertices[0], "max": [batch_length], "min": [0],
             "type": "SCALAR"})
 
     meshes = []
     for i in range(len(bin_vertices)):
         meshes.append({"primitives": [{
-            "attributes": {"POSITION": 2 * i, "NORMAL": 2 * i + 1},
+            "attributes": {"POSITION": n_attrs * i,
+                           "NORMAL": n_attrs * i + 1},
             "material": 0, "mode": 4}]})
+        if textured:
+            meshes[i]["primitives"][0]["attributes"]["TEXCOORD_0"] = \
+                n_attrs * i + 2
     if batched:
-        meshes[0]["primitives"][0]["attributes"]["_BATCHID"] = 2
+        meshes[0]["primitives"][0]["attributes"]["_BATCHID"] = n_attrs
 
-    return {
+    materials = [{"pbrMetallicRoughness": {"metallicFactor": 0},
+                  "name": "Material"}]
+    header = {
         "asset": {"generator": "py3dtiles", "version": "2.0"},
         "scene": 0,
         "scenes": [{"nodes": list(range(len(bin_vertices)))}],
         "nodes": [{"matrix": [float(e) for e in transform], "mesh": i}
                   for i in range(len(bin_vertices))],
         "meshes": meshes,
-        "materials": [{"pbrMetallicRoughness": {"metallicFactor": 0},
-                       "name": "Material"}],
+        "materials": materials,
         "accessors": accessors,
         "bufferViews": buffer_views,
         "buffers": [{"byteLength": byte_length}],
     }
+    if textured:
+        header["textures"] = [{"sampler": 0, "source": 0}]
+        header["images"] = [{"uri": texture_uri}]
+        header["samplers"] = [{"magFilter": 9729, "minFilter": 9987,
+                               "wrapS": 10497, "wrapT": 10497}]
+        materials[0]["pbrMetallicRoughness"]["baseColorTexture"] = \
+            {"index": 0}
+    return header
 
 
 def glb_bytes(header: dict, body: bytes) -> bytes:
@@ -93,11 +131,15 @@ def glb_bytes(header: dict, body: bytes) -> bytes:
             + body + b"\x00" * pad)
 
 
-def gltf_from_arrays(arrays: list, transform, batched: bool = True) -> bytes:
+def gltf_from_arrays(arrays: list, transform, batched: bool = True,
+                     texture_uri: str | None = None) -> bytes:
     """arrays: [{'position': bytes, 'normal': bytes, 'bbox': [[..],[..]],
-    'id': any}] -> glb bytes (reference GlTF.from_binary_arrays)."""
+    optional 'uv': bytes}] -> glb bytes (reference GlTF.from_binary_arrays,
+    gltf.py:75-141 — textured when the first geometry carries 'uv')."""
+    textured = "uv" in arrays[0]
     bin_v = [a["position"] for a in arrays]
     bin_n = [a["normal"] for a in arrays]
+    bin_uv = [a["uv"] for a in arrays] if textured else []
     n_vertices = [round(len(p) / 12) for p in bin_v]
     bboxes = [a["bbox"] for a in arrays]
     batch_length = 0
@@ -110,12 +152,16 @@ def gltf_from_arrays(arrays: list, transform, batched: bool = True) -> bytes:
         bboxes = [[mins, maxs]]
         bin_v = [b"".join(bin_v)]
         bin_n = [b"".join(bin_n)]
+        bin_uv = [b"".join(bin_uv)] if textured else []
         bin_ids = [b"".join(bin_ids)]
         n_vertices = [sum(n_vertices)]
         batch_length = len(arrays)
     header = gltf_header_json(bin_v, n_vertices, bboxes, transform,
-                              batched, batch_length)
-    body = b"".join(bin_v) + b"".join(bin_n) + b"".join(bin_ids)
+                              batched, batch_length, textured=textured,
+                              texture_uri=texture_uri)
+    # body layout: positions | normals | uvs | batchids (gltf.py:144-149)
+    body = (b"".join(bin_v) + b"".join(bin_n) + b"".join(bin_uv)
+            + b"".join(bin_ids))
     return glb_bytes(header, body)
 
 

@@ -218,3 +218,71 @@ def test_export_cli_pg_requires_table(tmp_path):
     with pytest.raises(SystemExit):
         main(["export", "--pg-url", "jdbc:postgresql://h/db",
               "--output", str(tmp_path)])
+
+
+@needs_ref
+def test_textured_square_b3dm_byte_golden():
+    """Reference TestTexturedTileBuilder (test_b3dm.py:66-104):
+    square.wkb + squareUV.wkb -> textured b3dm of exactly 1556 bytes —
+    UV triangles threaded through the triangulation indices, body layout
+    positions|normals|uvs|batchids, texture/image/sampler JSON blocks."""
+    from py3dtiles_spark.functions.wkb import data_triangles_to_array
+    with open(os.path.join(REF, "tests", "square.wkb"), "rb") as f:
+        wkb = f.read()
+    with open(os.path.join(REF, "tests", "squareUV.wkb"), "rb") as f:
+        wkbuv = f.read()
+    tris, (uvtris,) = wkb_to_triangles(wkb, associated=[wkbuv])
+    pos, norm, _ = triangles_to_arrays(tris)
+    uv = data_triangles_to_array(uvtris, dim=2)
+    assert len(uv) * 3 == len(pos) * 2          # VEC2 vs VEC3, same count
+    box = [[0, 0, 0], [10, 10, 0]]
+    transform = np.identity(4).flatten("F")
+    glb = gltf_from_arrays(
+        [{"position": pos, "normal": norm, "uv": uv, "bbox": box}],
+        transform, batched=True, texture_uri="squaretexture.jpg")
+    t = b3dm_bytes(glb)
+    assert len(t) == 1556
+    d = parse_b3dm(t)
+    assert d["tile_byte_length"] == 1556
+    hdr = d["gltf_header"]
+    assert hdr["images"] == [{"uri": "squaretexture.jpg"}]
+    assert hdr["textures"] == [{"sampler": 0, "source": 0}]
+    assert hdr["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] \
+        == {"index": 0}
+    assert hdr["meshes"][0]["primitives"][0]["attributes"]["TEXCOORD_0"] == 2
+    assert hdr["meshes"][0]["primitives"][0]["attributes"]["_BATCHID"] == 3
+    # buffer layout: uv view sits between normals and batchids
+    views = hdr["bufferViews"]
+    assert views[2]["byteOffset"] == 2 * views[0]["byteLength"]
+    assert views[3]["byteOffset"] == views[2]["byteOffset"] \
+        + views[2]["byteLength"]
+
+
+def test_build_b3dm_tiles_textured(spark):
+    """Distributed textured sink: a uvs column + texture_uri emit textured
+    glb per node; without texture_uri the same input stays untextured."""
+    from py3dtiles_spark.functions.wkb import data_triangles_to_array
+    from py3dtiles_spark.operators.export import build_b3dm_tiles
+    sq = _square().astype(np.float32)
+    tris = triangulate_polygon([sq])
+    pos, norm, bbox = triangles_to_arrays(tris)
+    uvn = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                   dtype=np.float32)
+    uvtris = triangulate_polygon([uvn])
+    uv = data_triangles_to_array(uvtris, dim=2)
+    rows = [(i, "n0", bytearray(pos), bytearray(norm), bytearray(uv),
+             *bbox[0], *bbox[1]) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "geom_id long, node_id string, positions binary, "
+              "normals binary, uvs binary, min_x double, min_y double, "
+              "min_z double, max_x double, max_y double, max_z double")
+    tex = build_b3dm_tiles(df, texture_uri="atlas.jpg").collect()
+    assert len(tex) == 1
+    d = parse_b3dm(bytes(tex[0].b3dm))
+    hdr = d["gltf_header"]
+    assert hdr["images"] == [{"uri": "atlas.jpg"}]
+    assert "TEXCOORD_0" in hdr["meshes"][0]["primitives"][0]["attributes"]
+    assert len(hdr["bufferViews"]) == 4
+    plain = build_b3dm_tiles(df.drop("uvs")).collect()
+    hdr2 = parse_b3dm(bytes(plain[0].b3dm))["gltf_header"]
+    assert "images" not in hdr2 and len(hdr2["bufferViews"]) == 3

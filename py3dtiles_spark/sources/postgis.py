@@ -23,6 +23,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# the source's output contract — what every downstream operator
+# (triangulate_features -> assign_quadtree -> build_b3dm_tiles) consumes;
+# the recorded-fixture test (tests/test_postgis_fixture.py) pins it
+POSTGIS_SCHEMA = "geom_id long, wkb binary, weight double"
+
+
+def postgis_subquery(table: str, geometry_column: str,
+                     id_column: str) -> str:
+    """The pushed-down subquery: the reference's exact server-side chain
+    (export.py:244,254-257) — translate every geometry to the collection's
+    min 3D extent, rotate X by -pi/2, emit WKB + 2D area weight."""
+    offset = f"(SELECT ST_3DExtent({geometry_column}) FROM {table})"
+    return f"""(
+        SELECT {id_column} AS geom_id,
+               ST_AsBinary(ST_RotateX(ST_Translate({geometry_column},
+                   -ST_XMin(bb.b), -ST_YMin(bb.b), -ST_ZMin(bb.b)),
+                   -pi()/2)) AS wkb,
+               ST_Area(ST_Force2D({geometry_column})) AS weight
+        FROM {table}, (SELECT {offset} AS b) bb
+    ) AS src"""
+
 
 def postgis_features(spark: SparkSession, jdbc_url: str, table: str,
                      geometry_column: str, id_column: str,
@@ -33,15 +54,7 @@ def postgis_features(spark: SparkSession, jdbc_url: str, table: str,
     The subquery computes the reference's exact transform chain; partition
     the read on the id column so all executors pull in parallel (the
     reference reads on one connection)."""
-    offset = (f"(SELECT ST_3DExtent({geometry_column}) FROM {table})")
-    sub = f"""(
-        SELECT {id_column} AS geom_id,
-               ST_AsBinary(ST_RotateX(ST_Translate({geometry_column},
-                   -ST_XMin(bb.b), -ST_YMin(bb.b), -ST_ZMin(bb.b)),
-                   -pi()/2)) AS wkb,
-               ST_Area(ST_Force2D({geometry_column})) AS weight
-        FROM {table}, (SELECT {offset} AS b) bb
-    ) AS src"""
+    sub = postgis_subquery(table, geometry_column, id_column)
     reader = (spark.read.format("jdbc")
               .option("url", jdbc_url)
               .option("dbtable", sub)

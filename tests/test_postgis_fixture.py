@@ -1,0 +1,111 @@
+"""PostGIS source contract without a live database (VERDICT r3 #9).
+
+No PostgreSQL server or JDBC driver exists in this sandbox, so the S6
+source is exercised two ways:
+
+1. the pushed-down subquery string is pinned against the reference's
+   server-side transform chain (export.py:244,254-257) — the part a real
+   PostGIS would execute;
+2. a RECORDED FIXTURE reproducing what that subquery returns — the
+   server-side math (translate to the collection's min 3D extent, rotate
+   X by -pi/2, WKB out, 2D area weight) applied with numpy to
+   deterministic building footprints, persisted as parquet with the
+   exact JDBC result schema — drives the full downstream export path
+   (triangulate -> quadtree -> b3dm), pinning the source's output
+   contract end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from py3dtiles_spark.functions.wkb import make_wkb_multipolygon
+from py3dtiles_spark.sources.postgis import POSTGIS_SCHEMA, postgis_subquery
+
+
+def test_subquery_is_reference_transform_chain():
+    sub = postgis_subquery("city.buildings", "geom", "gid")
+    assert "ST_AsBinary(ST_RotateX(ST_Translate(geom," in sub.replace(
+        "\n", "").replace("  ", "").replace(" \n", "")
+    for frag in ("ST_3DExtent(geom)", "-pi()/2", "ST_Area(ST_Force2D(geom))",
+                 "gid AS geom_id", "AS weight", "AS wkb"):
+        assert frag in sub
+    # pushdown shape: one subquery aliased for the JDBC dbtable option
+    assert sub.strip().startswith("(") and sub.strip().endswith("AS src")
+
+
+def _server_side(polys3d: list[np.ndarray]):
+    """What PostGIS computes for each polygon: translate by the
+    collection min extent, rotate X by -pi/2 (y' = z, z' = -y), WKB,
+    ST_Area(ST_Force2D) of the ORIGINAL geometry."""
+    allpts = np.vstack(polys3d)
+    mn = allpts.min(axis=0)
+    out = []
+    for ring in polys3d:
+        t = ring - mn
+        rot = np.column_stack([t[:, 0], t[:, 2], -t[:, 1]])
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        out.append((make_wkb_multipolygon([[rot]]), float(area)))
+    return out
+
+
+def _fixture_rows():
+    rng = np.random.default_rng(11)
+    polys = []
+    for i in range(25):
+        cx, cy = rng.uniform(0, 4000, 2)
+        s = rng.uniform(5, 40)
+        z = rng.uniform(0, 30)
+        polys.append(np.array([[cx, cy, z], [cx + s, cy, z],
+                               [cx + s, cy + s, z], [cx, cy + s, z]]))
+    return [(i, wkb, w)
+            for i, (wkb, w) in enumerate(_server_side(polys))]
+
+
+@pytest.fixture()
+def recorded(spark, tmp_path):
+    p = str(tmp_path / "postgis_recorded.parquet")
+    spark.createDataFrame(_fixture_rows(), POSTGIS_SCHEMA).write.parquet(p)
+    return p
+
+
+def test_recorded_fixture_drives_full_export(spark, recorded):
+    """The recorded JDBC result (exact schema, server-transformed WKB)
+    must flow through triangulate_features -> assign_quadtree ->
+    build_b3dm_tiles unchanged — the downstream contract a real
+    postgis_features read satisfies."""
+    from py3dtiles_spark.operators.export import (
+        assign_quadtree, build_b3dm_tiles, triangulate_features)
+    from py3dtiles_spark.sources.b3dm import parse_b3dm
+
+    src = spark.read.parquet(recorded)
+    assert dict(src.dtypes) == {"geom_id": "bigint", "wkb": "binary",
+                                "weight": "double"}
+    feats = triangulate_features(src)
+    rows = feats.collect()
+    assert len(rows) == 25
+    assert all(r.n_tris == 2 for r in rows)          # squares: 2 tris each
+    assert "weight" in feats.columns                 # weight passes through
+    # rotate X by -pi/2 maps z -> y: every translated square is y-planar
+    # at its original z height, never below 0
+    assert all(r.min_y >= 0 for r in rows)
+
+    assigned = assign_quadtree(feats, weight_col="weight")
+    tiles = build_b3dm_tiles(assigned).collect()
+    assert sum(t.n_features for t in tiles) == 25
+    for t in tiles:
+        d = parse_b3dm(bytes(t.b3dm))
+        assert d["tile_byte_length"] == len(bytes(t.b3dm))
+        assert d["gltf_header"]["buffers"][0]["byteLength"] > 0
+
+
+def test_recorded_fixture_weights_match_original_area(spark, recorded):
+    """ST_Area(ST_Force2D(geom)) is computed on the ORIGINAL geometry
+    (before translate/rotate): recorded weights are the xy footprint
+    areas, not areas of the rotated output."""
+    rows = spark.read.parquet(recorded).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.weight > 0          # nonzero xy footprint pre-rotation

@@ -677,6 +677,40 @@ def _doc_raster(spark, sf_dir):
     return rasterize_rects(rects, 0.25, value_col="w")
 
 
+def q_geohash_cells(spark, sf_dir):
+    """Geohash bucketing (the third north-rule spatial index next to the
+    S2 quad id and the Morton grid key): precision-4 geohash per geocoded
+    doc as ONE native expression — zero Python — with a character-
+    identical generated SQL twin."""
+    from py3dtiles_spark.functions.geohash import geohash_expr
+    g = _geo(spark, sf_dir)
+    return (g.select(geohash_expr(4).alias("gh"))
+            .groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("gh"))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Web-corpus URL curation: deterministic synthetic urls per doc_id
+    (both engines build the same strings), then the Spark side PARSES
+    them back with native regex (url_host/registrable_domain), drops a
+    blocklisted domain via broadcast anti-join, and aggregates per-domain
+    crawl stats — while the oracle derives host/domain from the
+    construction arithmetic, so the regex extraction is genuinely
+    cross-checked."""
+    from py3dtiles_spark.functions.url import (
+        domain_stats, filter_domain_blocklist)
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    urls = d.select(
+        "doc_id", "n_chars",
+        F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                 F.lit(".site"), (i % 3).cast("string"),
+                 F.lit(".example/p/"), i.cast("string")).alias("url"))
+    bl = spark.createDataFrame([("site2.example",)], "domain string")
+    kept = filter_domain_blocklist(urls, bl)
+    return (domain_stats(kept, chars_col="n_chars").orderBy("domain"))
+
+
 def q_raster_cells(spark, sf_dir):
     """North-rule vector->raster: footprint rasterization (center-in-rect
     coverage), native sequence-explode — zero Python."""
@@ -877,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the raw per-tile histogram below stays rows-only
         "tiling_invariants": q_tiling_invariants,
         "s2_cells": q_s2_cells,
+        "geohash_cells": q_geohash_cells,
+        "domain_stats": q_domain_stats,
         "raster_cells": q_raster_cells,
         "raster_pyramid": q_raster_pyramid,
         "raster_vectorize": q_raster_vectorize,
@@ -915,9 +951,11 @@ _RASTER_CELLS_SQL = """,
 
 
 def oracle_sql() -> dict[str, str]:
+    from py3dtiles_spark.functions.geohash import geohash_sql
     from py3dtiles_spark.functions.s2 import s2_quad_id_sql
     geo = f"WITH geo AS ({_GEO_SQL})"
     s2_sql = s2_quad_id_sql(6, "x", "y")
+    gh_sql = geohash_sql(4, "x", "y")
     return {
         "aabb_agg": f"""{geo}
             SELECT round(min(x),6) AS min_x, round(max(x),6) AS max_x,
@@ -1221,6 +1259,23 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": f"""{geo}
             SELECT {s2_sql} AS cell, count(*) AS n
             FROM geo GROUP BY 1 ORDER BY cell""",
+        "geohash_cells": f"""{geo}
+            SELECT {gh_sql} AS gh, count(*) AS n
+            FROM geo GROUP BY 1 ORDER BY gh""",
+        "domain_stats": """
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       'site' || CAST(doc_id % 3 AS VARCHAR)
+                           || '.example' AS domain,
+                       'h' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+                           || CAST(doc_id % 3 AS VARCHAR)
+                           || '.example' AS host
+                FROM documents)
+            SELECT domain, count(*) AS docs,
+                   count(DISTINCT host) AS hosts,
+                   sum(n_chars) AS total_chars
+            FROM u WHERE domain <> 'site2.example'
+            GROUP BY domain ORDER BY domain""",
         "raster_cells": f"""{geo}{_RASTER_CELLS_SQL}
             SELECT cell_x, cell_y, value FROM cells
             ORDER BY cell_x, cell_y""",

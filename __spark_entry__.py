@@ -240,6 +240,16 @@ def q_quality_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc (canonical corpus statistics): explode
+    -> two map-side-combined aggs -> term equi-join -> window top-k, all
+    native expressions; 6-dp rounding before ranking pins the tie-break
+    across engines."""
+    from py3dtiles_spark.functions.text import tfidf_top_terms
+    d = _docs(spark, sf_dir).filter("doc_id < 200")
+    return tfidf_top_terms(d, k=3).orderBy("doc_id", "rk")
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation in one declarative plan:
     quality gate (length + token floor + punctuation-density ceiling) ->
@@ -884,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_metrics": q_quality_metrics,
         "corpus_curation": q_corpus_curation,
+        "tfidf_terms": q_tfidf_terms,
         "fingerprint": q_fingerprint,
         "neardup_pairs": q_neardup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1262,6 +1273,29 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": f"""{geo}
             SELECT {gh_sql} AS gh, count(*) AS n
             FROM geo GROUP BY 1 ORDER BY gh""",
+        "tfidf_terms": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 200),
+            toks AS (SELECT doc_id, t.term
+                     FROM d, LATERAL unnest(string_split(text, ' '))
+                          AS t(term)
+                     WHERE t.term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * ln((nd.n + 1.0) / (dfx.df + 1.0)), 6)
+                           AS score
+                FROM tf JOIN dfx USING(term), nd),
+            ranked AS (
+                SELECT doc_id, term, tf, score,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC)::BIGINT AS rk
+                FROM scored)
+            SELECT doc_id, term, tf, score, rk FROM ranked
+            WHERE rk <= 3 ORDER BY doc_id, rk""",
         "domain_stats": """
             WITH u AS (
                 SELECT doc_id, n_chars,

@@ -98,3 +98,46 @@ def fingerprint(text_col: str = "text", shingle_tokens: int = 8) -> Column:
     hashes = F.transform(
         idx, lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_tokens), " ")))
     return F.array_min(hashes)
+
+
+def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Top-k TF-IDF terms per document — the canonical corpus-statistics
+    operator, fully native (SURVEY §2.7-adjacent; the webtext pipeline's
+    keyword/fingerprint step):
+
+        tf(t, d)  = count of t in d
+        idf(t)    = ln((N + 1) / (df(t) + 1))   (smoothed)
+        score     = tf * idf
+
+    Physical shape at 100 TB: one explode -> two map-side-combined aggs
+    ((doc, term) tf and term df) -> broadcast-sized df table only if the
+    vocab is small, otherwise a shuffle equi-join on term -> window top-k
+    per doc. All built-in expressions; ties break lexicographically so
+    the result is deterministic and SQL-oracle-checkable.
+
+    Returns (doc_id, term, tf, score, rk<=k).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col,
+        F.explode(F.filter(tokens(text_col), lambda t: t != F.lit("")))
+        .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    df_t = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs)))
+    idf = df_t.select(
+        "term",
+        F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)).alias("idf"))
+    # round BEFORE ranking so the tie-break (score, term) is identical in
+    # any engine computing the same 6-dp values (raw ln() can differ in
+    # the last ulp between runtimes)
+    scored = (tf.join(idf, "term")
+              .withColumn("score", F.round(F.col("tf") * F.col("idf"), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "term", "tf", "score", "rk"))

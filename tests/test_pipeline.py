@@ -116,3 +116,36 @@ def test_sessionized_cell_activity_stateful(spark, tmp_path):
     assert all(r.session_end >= r.session_start for r in rows)
     total_docs = sum(r.docs for r in rows)
     assert total_docs == 50             # exactly batch A's records
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted equi-join result == plain join on a zipfian-hot key, and
+    the join runs on (key, _salt) so a hot key spreads across reducers."""
+    from py3dtiles_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+    big = spark.range(0, 20000).select(
+        F.col("id"),
+        # 70% of rows hit key 0 — the hot-domain shape
+        F.when(F.pmod("id", F.lit(10)) < 7, 0)
+         .otherwise(F.pmod("id", F.lit(50))).cast("long").alias("k"))
+    small = spark.createDataFrame(
+        [(int(i), f"meta{i}") for i in range(50)], "k long, meta string")
+    got = salted_join(big, small, "k", n_salt=8)
+    plain = big.join(small, "k")
+    assert got.count() == plain.count() == 20000
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+    assert "_salt" not in got.columns
+
+
+def test_two_stage_agg_matches_groupby(spark):
+    from py3dtiles_spark.operators.skew import two_stage_agg
+    from pyspark.sql import functions as F
+    df = spark.range(0, 10000).select(
+        F.pmod("id", F.lit(5)).cast("long").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"))
+    got = {r.k: r.sum_v for r in two_stage_agg(df, "k", "v").collect()}
+    want = {r.k: r["sum(v)"] for r in df.groupBy("k").sum("v").collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6

@@ -342,6 +342,23 @@ def q_knn_join(spark, sf_dir):
             .orderBy("q_id", "rank"))
 
 
+def q_knn_points_grid(spark, sf_dir):
+    """Grid-bucketed distributed point kNN join (both sides DataFrames,
+    zero Python): rings sized so every gate query is provably complete,
+    hence exactly the brute-force kNN — the DuckDB cross-join oracle
+    applies. The completeness flag itself is part of the check (pinned
+    true)."""
+    from py3dtiles_spark.operators.knn import knn_join_points
+    pts = (_geo(spark, sf_dir)
+           .select(F.col("doc_id").alias("point_id"), "x", "y", "z"))
+    q = (pts.filter("point_id < 6")
+         .select(F.col("point_id").alias("q_id"), "x", "y", "z"))
+    out = knn_join_points(pts, q, k=4, cell_size=400.0, n_rings=1)
+    return (out.select("q_id", "n_id", "rank",
+                       F.col("complete").cast("long").alias("complete"))
+            .orderBy("q_id", "rank"))
+
+
 def q_knn_join_bucketed(spark, sf_dir):
     """Bucketed batch kNN JOIN — BOTH sides stay DataFrames (LSH-bucket
     equi-join; no broadcast, no driver collect): the scale path for query
@@ -902,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top5": q_knn_top5,
         "knn_join": q_knn_join,
         "knn_join_bucketed": q_knn_join_bucketed,
+        "knn_points_grid": q_knn_points_grid,
         "embedding_norms": q_embedding_norms,
         "hourly_events": q_hourly_events,
         "top_users": q_top_users,
@@ -1160,6 +1178,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims)
             SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3
             ORDER BY q_id, rank""",
+        "knn_points_grid": f"""{geo},
+            pts AS (SELECT doc_id AS point_id, x, y, z FROM geo),
+            q AS (SELECT point_id AS q_id, x AS qx, y AS qy, z AS qz
+                  FROM pts WHERE point_id < 6),
+            d AS (SELECT q.q_id, p.point_id AS n_id,
+                         sqrt(pow(p.x - q.qx, 2) + pow(p.y - q.qy, 2)
+                            + pow(p.z - q.qz, 2)) AS dist
+                  FROM q CROSS JOIN pts p),
+            ranked AS (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY dist ASC, n_id ASC)::BIGINT AS rank
+                FROM d)
+            SELECT q_id, n_id, rank, 1::BIGINT AS complete
+            FROM ranked WHERE rank <= 4 ORDER BY q_id, rank""",
         # exhaustive-probe config == exact kNN join: same oracle shape
         "knn_join_bucketed": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS qv

@@ -346,6 +346,81 @@ def knn_join_bucketed(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", "n_id", "cos", "rank"))
 
 
+def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
+                    cell_size: float = 1.0, n_rings: int = 1,
+                    id_col: str = "point_id",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """Distributed grid-bucketed kNN join for POINT tables — both sides
+    stay DataFrames (the xyz companion to knn_join_bucketed). Standard
+    grid kNN with completeness verification:
+
+    1. points get their 3D grid cell natively (floor + Morton-free pack);
+    2. each query explodes to its (2*n_rings+1)^3 neighbor cells — pure
+       array-literal explode, zero Python;
+    3. candidates = equi-join on cell_id (a hash shuffle of only the
+       neighborhood's points per query region, never a cross product);
+    4. exact squared euclidean as native exprs, two-stage top-k
+       (partition-local pre-rank, then per-q_id window);
+    5. per-row `complete` flag: the result is PROVABLY exact for query q
+       iff q got k rows AND its k-th distance < n_rings * cell_size
+       (every point outside the probed rings is at least that far) —
+       callers re-run incomplete queries with a larger n_rings/cell_size.
+       At scale this is the standard two-pass shape: one cheap pass
+       answers ~all queries, the few incomplete ones re-run wider.
+
+    Returns (q_id, n_id, dist, rank<=k, complete)."""
+    cell = float(cell_size)
+
+    def cell_id(xc, yc, zc):
+        m = F.lit(1 << 21)
+        return ((F.floor(xc / cell).cast("long") + F.lit(1 << 20)) * m
+                + (F.floor(yc / cell).cast("long") + F.lit(1 << 20))) * m \
+            + (F.floor(zc / cell).cast("long") + F.lit(1 << 20))
+
+    p = points.select(F.col(id_col).alias("n_id"),
+                      F.col("x").alias("_px"), F.col("y").alias("_py"),
+                      F.col("z").alias("_pz"),
+                      cell_id(F.col("x"), F.col("y"),
+                              F.col("z")).alias("cell_id"))
+    r = n_rings
+    m = 1 << 21
+    offsets = [((dx * m) + dy) * m + dz
+               for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+               for dz in range(-r, r + 1)]
+    q = (queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col("x").alias("_qx"), F.col("y").alias("_qy"),
+                        F.col("z").alias("_qz"),
+                        cell_id(F.col("x"), F.col("y"),
+                                F.col("z")).alias("_qcell"))
+         .withColumn("_off", F.explode(F.array(
+             *[F.lit(o).cast("long") for o in offsets])))
+         .withColumn("cell_id", F.col("_qcell") + F.col("_off"))
+         .drop("_off", "_qcell"))
+    dist = F.sqrt((F.col("_px") - F.col("_qx")) ** 2
+                  + (F.col("_py") - F.col("_qy")) ** 2
+                  + (F.col("_pz") - F.col("_qz")) ** 2)
+    cand = (p.join(q, "cell_id")
+            .withColumn("dist", dist)
+            .withColumn("_pid", F.spark_partition_id())
+            .select("_pid", "q_id", "n_id", "dist"))
+    wl = Window.partitionBy("_pid", "q_id").orderBy(F.col("dist").asc(),
+                                                    F.col("n_id").asc())
+    local = (cand.withColumn("_lr", F.row_number().over(wl))
+             .filter(F.col("_lr") <= k).drop("_lr", "_pid"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
+                                           F.col("n_id").asc())
+    ranked = (local.withColumn("rank", F.row_number().over(w).cast("long"))
+              .filter(F.col("rank") <= k))
+    wq = Window.partitionBy("q_id")
+    return (ranked
+            .withColumn("_kth", F.max("dist").over(wq))
+            .withColumn("_n", F.count(F.lit(1)).over(wq))
+            .withColumn("complete",
+                        (F.col("_n") == k)
+                        & (F.col("_kth") < F.lit(r * cell)))
+            .select("q_id", "n_id", "dist", "rank", "complete"))
+
+
 def ivf_index(emb: DataFrame, n_lists: int = 16, seed: int = 42,
               max_iter: int = 10,
               id_col: str = "vec_id", vec_col: str = "embedding"):

@@ -289,3 +289,39 @@ def test_minhash_bucket_cap_keeps_multiband_pairs(spark):
     got_c = {(r.a, r.b) for r in capped.collect()}
     got_f = {(r.a, r.b) for r in full.collect()}
     assert got_c == got_f           # cap far above bucket sizes: no change
+
+
+def test_knn_join_points_exact_when_complete(spark):
+    """Grid-bucketed point kNN join: with rings wide enough every query
+    is flagged complete and the ranked ids equal brute-force knn_points;
+    with a tiny cell the flag honestly reports incompleteness."""
+    from py3dtiles_spark.operators.knn import knn_join_points, knn_points
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(17)
+    xyz = rng.uniform(0, 100, (3000, 3))
+    rows = [(int(i), *map(float, xyz[i])) for i in range(3000)]
+    pts = spark.createDataFrame(
+        rows, "point_id long, x double, y double, z double").repartition(6)
+    q = (pts.filter("point_id < 8")
+         .select(F.col("point_id").alias("q_id"), "x", "y", "z"))
+    got = knn_join_points(pts, q, k=5, cell_size=12.0, n_rings=1).collect()
+    assert all(r.complete for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, {})[r.rank] = r.n_id
+    exact = knn_points(pts, [(i, *map(float, xyz[i])) for i in range(8)], k=5)
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window \
+        .partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
+    ref = exact.withColumn("rank", F.row_number().over(w))
+    want = {}
+    for r in ref.collect():
+        want.setdefault(r.q_id, {})[r.rank] = r.n_id
+    assert by_q == want
+    # tiny cell: k-th neighbour provably can lie outside one ring
+    tiny = knn_join_points(pts, q, k=5, cell_size=1.0, n_rings=1).collect()
+    assert any(not r.complete for r in tiny)
+    # plan stays native + equi-join
+    plan = knn_join_points(pts, q, k=5, cell_size=12.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for marker in ("FlatMap", "ArrowEval", "BatchEval", "CartesianProduct"):
+        assert marker not in plan

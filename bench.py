@@ -103,7 +103,8 @@ def main() -> None:
     for name in ["neardup_pairs", "knn_top5", "pip_polygon",
                  "pricing_summary", "hourly_events", "tiling_octree",
                  "simhash_neardup", "feature_quadtree", "vector_b3dm",
-                 "s2_cells", "raster_cells", "knn_join"]:
+                 "s2_cells", "raster_cells", "knn_join",
+                 "knn_join_bucketed", "geohash_cells", "tfidf_terms"]:
         n = qs[name](spark, SF_DIR).count()          # warmup, keep rows
         ts = []
         for _ in range(RUNS):

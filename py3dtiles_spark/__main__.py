@@ -75,6 +75,10 @@ def main(argv=None) -> int:
                    help="world offset of the (local) geometries — becomes "
                         "the root tileset transform (reference export -o)")
     e.add_argument("--output", required=True)
+    e.add_argument("--texture-uri", default=None,
+                   help="emit textured glb referencing this image uri "
+                        "(parquet input must carry a `uvs` binary column "
+                        "of per-vertex f32 UV pairs)")
     e.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
@@ -127,7 +131,9 @@ def main(argv=None) -> int:
         tiles_dir = os.path.join(args.output, "tiles")
         # executor-side sink: tile bytes never stream through the driver
         # (reference per-node write loop, export.py:175-196)
-        n_tiles = write_b3dm_files(build_b3dm_tiles(assigned), tiles_dir)
+        n_tiles = write_b3dm_files(
+            build_b3dm_tiles(assigned, texture_uri=args.texture_uri),
+            tiles_dir)
         # driver collect is NODE-count-sized, never feature-count-sized
         # (one collect; the feature total sums driver-side over node rows)
         box_rows = node_boxes(assigned).collect()

@@ -36,35 +36,56 @@ FEATURES_PER_TILE = 20      # export.py:113
 
 
 def triangulate_features(geoms: DataFrame, wkb_col: str = "wkb",
-                         id_col: str = "geom_id") -> DataFrame:
+                         id_col: str = "geom_id",
+                         uv_wkb_col: str = "uv_wkb") -> DataFrame:
     """(geom_id, wkb[, extras...]) -> (geom_id, positions binary, normals
-    binary, min_x..max_z, n_tris[, extras...]). Arrow-batched; the only
-    Python stage. Extra input columns (e.g. weight) pass through so the
-    expensive WKB decode never has to be joined back to (and therefore
-    re-executed for) its own inputs."""
-    from py3dtiles_spark.functions.wkb import (
-        triangles_to_arrays, wkb_to_triangles)
+    binary, min_x..max_z, n_tris[, uvs][, extras...]). Arrow-batched; the
+    only Python stage. Extra input columns (e.g. weight) pass through so
+    the expensive WKB decode never has to be joined back to (and
+    therefore re-executed for) its own inputs.
 
-    extras = [c for c, _ in geoms.dtypes if c not in (wkb_col, id_col)]
+    Textured inputs: when a `uv_wkb` column is present (a same-topology
+    2D multipolygon of texture coordinates, the reference's
+    from_wkb_multipolygon associatedData), the UV rings thread through
+    the SAME triangulation indices — precomputed UV arrays could never
+    match the ear-clip diagonals — and come out as a `uvs` f32 binary
+    column ready for build_b3dm_tiles(texture_uri=...)."""
+    from py3dtiles_spark.functions.wkb import (
+        data_triangles_to_array, triangles_to_arrays, wkb_to_triangles)
+
+    has_uv = uv_wkb_col in geoms.columns
+    extras = [c for c, _ in geoms.dtypes
+              if c not in (wkb_col, id_col, uv_wkb_col)]
     extra_types = dict(geoms.dtypes)
 
     def run(batches):
         for pdf in batches:
             rows = []
             for t in pdf.itertuples(index=False):
-                tris = wkb_to_triangles(bytes(getattr(t, wkb_col)))
+                if has_uv:
+                    tris, (uvtris,) = wkb_to_triangles(
+                        bytes(getattr(t, wkb_col)),
+                        associated=[bytes(getattr(t, uv_wkb_col))])
+                    uv = (data_triangles_to_array(uvtris, dim=2),)
+                else:
+                    tris = wkb_to_triangles(bytes(getattr(t, wkb_col)))
+                    uv = ()
                 pos, norm, bbox = triangles_to_arrays(tris)
                 rows.append((getattr(t, id_col), pos, norm,
                              bbox[0][0], bbox[0][1], bbox[0][2],
                              bbox[1][0], bbox[1][1], bbox[1][2], len(tris))
+                            + uv
                             + tuple(getattr(t, c) for c in extras))
             yield pd.DataFrame(rows, columns=[
                 id_col, "positions", "normals", "min_x", "min_y", "min_z",
-                "max_x", "max_y", "max_z", "n_tris"] + extras)
+                "max_x", "max_y", "max_z", "n_tris"]
+                + (["uvs"] if has_uv else []) + extras)
 
     schema = (f"{id_col} long, positions binary, normals binary, "
               "min_x double, min_y double, min_z double, "
               "max_x double, max_y double, max_z double, n_tris long")
+    if has_uv:
+        schema += ", uvs binary"
     for c in extras:
         schema += f", {c} {extra_types[c]}"
     return geoms.mapInPandas(run, schema=schema)

@@ -286,3 +286,35 @@ def test_build_b3dm_tiles_textured(spark):
     plain = build_b3dm_tiles(df.drop("uvs")).collect()
     hdr2 = parse_b3dm(bytes(plain[0].b3dm))["gltf_header"]
     assert "images" not in hdr2 and len(hdr2["bufferViews"]) == 3
+
+
+@needs_ref
+def test_export_cli_textured_parquet(spark, tmp_path):
+    """CLI textured export: a parquet of (geom_id, wkb, uv_wkb) +
+    --texture-uri produces textured b3dm tiles; the UV rings rode the
+    same triangulation indices as the positions."""
+    import json as _json
+    from py3dtiles_spark.__main__ import main
+
+    with open(os.path.join(REF, "tests", "square.wkb"), "rb") as f:
+        wkb = f.read()
+    with open(os.path.join(REF, "tests", "squareUV.wkb"), "rb") as f:
+        wkbuv = f.read()
+    src = str(tmp_path / "tex.parquet")
+    spark.createDataFrame(
+        [(i, bytearray(wkb), bytearray(wkbuv)) for i in range(5)],
+        "geom_id long, wkb binary, uv_wkb binary").write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["export", "--wkb-dir", src, "--output", out,
+               "--texture-uri", "atlas.jpg", "--cpus", "4"])
+    assert rc == 0
+    tiles = os.listdir(os.path.join(out, "tiles"))
+    assert tiles
+    with open(os.path.join(out, "tiles", tiles[0]), "rb") as f:
+        d = parse_b3dm(f.read())
+    hdr = d["gltf_header"]
+    assert hdr["images"] == [{"uri": "atlas.jpg"}]
+    assert "TEXCOORD_0" in hdr["meshes"][0]["primitives"][0]["attributes"]
+    # uv stream is 2/3 the position stream (VEC2 vs VEC3)
+    views = hdr["bufferViews"]
+    assert views[2]["byteLength"] * 3 == views[0]["byteLength"] * 2

@@ -102,6 +102,8 @@ def knn_embeddings(emb: DataFrame, queries, k: int = 10) -> DataFrame:
             int(i): (np.full(k, -np.inf), np.full(k, -1, dtype=np.int64))
             for i in q_ids}
         for pdf in batches:
+            if pdf.empty:       # np.stack rejects zero-row batches
+                continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
@@ -138,6 +140,8 @@ def lsh_signature_expr(dim: int, n_planes: int, seed: int = 42):
 
     def add_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             bits = (m @ planes.T) > 0
             bucket = np.zeros(len(pdf), dtype=np.int64)
@@ -292,6 +296,8 @@ def knn_join_bucketed(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     def table_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:       # np.stack rejects zero-row batches
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (m @ planes.T) > 0
             bucket = np.zeros(len(pdf), dtype=np.int64)
@@ -303,6 +309,8 @@ def knn_join_bucketed(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     def query_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
             m = np.stack(pdf[q_vec_col].to_numpy()).astype(np.float64)
             margins = m @ planes.T                    # (Q, n_planes)
             qid, qv, bk = [], [], []

@@ -33,8 +33,10 @@ def _check_query_count(n: int):
         raise ValueError(
             f"{n} queries exceeds MAX_DRIVER_QUERIES={MAX_DRIVER_QUERIES}: "
             "the query side is collected to the driver and broadcast. For "
-            "query sets this large, run a join-based batch kNN (bucket the "
-            "queries with lsh_signature_expr and equi-join) instead.")
+            "query sets this large use the join-based batch paths where "
+            "both sides stay DataFrames: knn_join_bucketed (embeddings, "
+            "LSH bucket equi-join) or knn_join_points (xyz, grid cell "
+            "equi-join).")
 
 
 def _topk_window(df: DataFrame, part_col: str, order_col: str, k: int) -> DataFrame:

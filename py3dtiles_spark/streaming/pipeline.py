@@ -140,6 +140,28 @@ def windowed_raster_stream(assigned_stream: DataFrame,
                     "cell_x", "cell_y", "docs"))
 
 
+def dedup_stream(pages_stream: DataFrame, key_cols=("url",),
+                 ts_col: str = "warc_ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup of a crawl: keep the FIRST record per key
+    (url or content fingerprint) across micro-batches, with state bounded
+    by the watermark — `dropDuplicatesWithinWatermark` drops every
+    duplicate whose event time lands within the watermark window of the
+    kept record, then expires the key's state, so a re-crawl loop's
+    within-horizon repeats vanish while state stays finite (the unbounded
+    dropDuplicates variant would grow state forever on an endless crawl).
+
+    Re-crawls farther apart than the watermark are KEPT (a page fetched
+    again a week later is a legitimate new snapshot); pair with the batch
+    exact_dedup/minhash path for whole-corpus offline dedup.
+
+    Use `F.xxhash64("text")` (or text.fingerprint) as a key column for
+    content-level dedup instead of url-level."""
+    return (pages_stream
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def run_stream_to_memory(spark: SparkSession, src_path: str,
                          query_name: str = "cell_counts",
                          cell_deg: float = 5.0) -> "DataFrame":

@@ -258,3 +258,42 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     have = {(r.window_start, r.cell_id): r.docs for r in got.collect()}
     assert have == want
     assert all(r.langs >= 1 for r in got.collect())
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving in LATER micro-batches
+    (within the watermark horizon) are dropped — state persists across
+    batches via the checkpoint — while distinct keys all survive."""
+    import glob
+    import shutil
+    from datetime import datetime
+    from py3dtiles_spark.streaming.pipeline import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "url string, warc_ts timestamp, text string"
+
+    def drop(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / "stage" / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    t0 = datetime(2025, 1, 1, 0, 0)
+    t5 = datetime(2025, 1, 1, 0, 5)
+    drop("d1", [("u/a", t0, "ta"), ("u/b", t0, "tb"), ("u/a", t0, "ta")])
+    drop("d2", [("u/a", t5, "ta2"),          # dup of batch-1 key -> drop
+                ("u/c", t5, "tc")])          # new key -> keep
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    deduped = dedup_stream(stream, key_cols=("url",), watermark="1 hour")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "sink")).collect()
+    assert sorted(r.url for r in rows) == ["u/a", "u/b", "u/c"]
+    texts = {r.url: r.text for r in rows}
+    assert texts["u/a"] == "ta"            # FIRST record kept

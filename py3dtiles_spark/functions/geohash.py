@@ -13,6 +13,15 @@ interleave, slice 5-bit groups. A shared prefix = a shared ancestor cell,
 so the string is range-partitionable and prefix-joinable exactly like the
 tiler's quadkeys.
 
+Boundary caveat (hypothesis-found): the closed form computes
+floor((v - lo) / range * 2^bits); for inputs within one ulp of a cell
+boundary the `v - lo` addition can round across it, so such points may
+land one cell off versus the textbook successive-bisection formulation
+(which compares against exact midpoints). The closed form is what BOTH
+the Spark expr and the SQL twin evaluate — bit-identical doubles either
+side — so engine parity always holds; only sub-ulp-from-boundary inputs
+differ from other geohash libraries.
+
 At 100 TB this is the cheap bucketing path for lat/lon keyed corpora:
 the whole encode stays inside whole-stage codegen, groupBy(geohash)
 gets map-side partial aggregation, and prefix truncation

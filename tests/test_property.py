@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) for the pure-numpy/driver kernels —
+edge-case search the fixed-seed tests can't do: exact cell-boundary
+coordinates, degenerate rings, extreme lat/lon, adversarial chunk splits.
+All properties run WITHOUT a SparkSession (fast), against the same
+functions the Spark exprs/kernels wrap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import assume, given, settings, strategies as st
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-180, max_value=180),
+       st.floats(min_value=-90, max_value=90),
+       st.integers(min_value=1, max_value=12))
+def test_geohash_closed_form_equals_bisection(lon, lat, precision):
+    """The interleaved-bit closed form == the textbook bisection whenever
+    the `v - lo` shift is lossless. Sub-ulp-from-boundary inputs (e.g.
+    lat = -1e-263, where lat+90 rounds to exactly 90) legitimately differ
+    from bisection by one cell — documented closed-form caveat; engine
+    parity (Spark expr vs SQL twin) is unaffected since both evaluate the
+    identical closed form."""
+    assume((lon + 180.0) - 180.0 == lon)
+    assume((lat + 90.0) - 90.0 == lat)
+    from py3dtiles_spark.functions.geohash import BASE32
+    from tests.test_geohash_url import _ref_geohash
+    # closed form, numpy mirror of geohash_expr
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    qlon = min(max(int(np.floor((lon + 180.0) / 360.0 * (1 << lon_bits))),
+                   0), (1 << lon_bits) - 1)
+    qlat = min(max(int(np.floor((lat + 90.0) / 180.0 * (1 << lat_bits))),
+                   0), (1 << lat_bits) - 1)
+    inter = 0
+    for g in range(total):
+        if g % 2 == 0:
+            bit = (qlon >> (lon_bits - 1 - g // 2)) & 1
+        else:
+            bit = (qlat >> (lat_bits - 1 - g // 2)) & 1
+        inter |= bit << (total - 1 - g)
+    got = "".join(BASE32[(inter >> (total - 5 * (c + 1))) & 31]
+                  for c in range(precision))
+    assert got == _ref_geohash(lat, lon, precision)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=-179.999, max_value=179.999),
+       st.floats(min_value=-89.999, max_value=89.999),
+       st.integers(min_value=1, max_value=12))
+def test_s2_cell_id_roundtrip_center_stays_in_cell(lon, lat, level):
+    """Encoding any point, decoding the cell center, and re-encoding the
+    center yields the SAME cell id (center is inside its own cell)."""
+    from py3dtiles_spark.functions.s2 import s2_cell_center, s2_cell_id
+    cid = s2_cell_id([lon], [lat], level)
+    clon, clat = s2_cell_center(cid, level)
+    cid2 = s2_cell_id(clon, clat, level)
+    assert cid2[0] == cid[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=12))
+def test_s2_parent_contains_child(level):
+    """Every level-`level` cell's parent at level-1 contains the child's
+    center."""
+    from py3dtiles_spark.functions.s2 import (
+        s2_cell_center, s2_cell_id, s2_parent)
+    rng = np.random.default_rng(level)
+    lon = rng.uniform(-179, 179, 20)
+    lat = rng.uniform(-89, 89, 20)
+    child = s2_cell_id(lon, lat, level)
+    parent = s2_parent(child, level - 1)
+    clon, clat = s2_cell_center(child, level)
+    again = s2_cell_id(clon, clat, level - 1)
+    np.testing.assert_array_equal(parent, again)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-1e5, max_value=1e5),
+    st.floats(min_value=-1e5, max_value=1e5),
+    st.floats(min_value=-1e3, max_value=1e3)),
+    min_size=3, max_size=12, unique=True))
+def test_wkb_roundtrip_any_ring(pts):
+    """make -> parse is the identity for any float ring (f32 cast)."""
+    from py3dtiles_spark.functions.wkb import (
+        make_wkb_multipolygon, parse_wkb_multipolygon)
+    ring = np.array(pts, dtype=np.float64)
+    wkb = make_wkb_multipolygon([[ring]])
+    out = parse_wkb_multipolygon(wkb)
+    assert len(out) == 1 and len(out[0]) == 1
+    np.testing.assert_array_equal(out[0][0],
+                                  ring.astype(np.float32))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=-50, max_value=50), min_size=6,
+                max_size=60),
+       st.floats(min_value=0.5, max_value=10))
+def test_sequential_accept_mask_is_valid_subsample(vals, spacing):
+    """For ANY point cloud: accepted points are pairwise >= spacing apart
+    (float32 test), and every rejected point is < spacing from some
+    ACCEPTED point with a smaller index (the greedy invariant)."""
+    from py3dtiles_spark.functions.geometry import sequential_accept
+    n = len(vals) // 3
+    if n == 0:
+        return
+    pts = np.array(vals[:n * 3], dtype=np.float32).reshape(n, 3)
+    sq = np.float32(spacing * spacing)
+    acc = sequential_accept(pts, float(sq))
+    idx = np.flatnonzero(acc)
+    # pairwise separation among accepted (float32 left-to-right test)
+    for ii, i in enumerate(idx):
+        for j in idx[ii + 1:]:
+            d = pts[i] - pts[j]
+            assert not (d[0] * d[0] + d[1] * d[1] + d[2] * d[2] < sq)
+    # rejected points are blocked by an earlier accept
+    for i in np.flatnonzero(~acc):
+        earlier = idx[idx < i]
+        blocked = False
+        for j in earlier:
+            d = pts[i] - pts[j]
+            if d[0] * d[0] + d[1] * d[1] + d[2] * d[2] < sq:
+                blocked = True
+                break
+        assert blocked, f"point {i} rejected with no blocking accept"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.floats(min_value=-20, max_value=20),
+                          st.floats(min_value=-20, max_value=20)),
+                min_size=3, max_size=8),
+       st.floats(min_value=0.7, max_value=5))
+def test_polygon_cell_cover_is_superset_of_hits(ring, cell_deg):
+    """polygon_cell_cover must contain EVERY cell holding an inside
+    point (sampled densely) — the join-correctness property."""
+    from py3dtiles_spark.operators.spatial_join import (
+        polygon_cell_cover, ray_cast_mask)
+    xs = np.array([p[0] for p in ring])
+    ys = np.array([p[1] for p in ring])
+    if len(set(zip(xs, ys))) < 3:
+        return
+    cover = polygon_cell_cover(xs, ys, cell_deg)
+    gx = np.linspace(xs.min(), xs.max(), 25)
+    gy = np.linspace(ys.min(), ys.max(), 25)
+    mx, my = np.meshgrid(gx, gy)
+    mx, my = mx.ravel(), my.ravel()
+    inside = ray_cast_mask(mx, my, xs, ys)
+    for px, py in zip(mx[inside], my[inside]):
+        cell = (int(np.floor(px / cell_deg)), int(np.floor(py / cell_deg)))
+        assert cell in cover

@@ -422,9 +422,8 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             pending = pending.persist(StorageLevel.MEMORY_AND_DISK)
             input_cached = pending
     else:
-        prev = os.path.join(ckpt, f"level={start_level - 1}", "out")
-        pending = (spark.read.schema(KERNEL_SCHEMA).parquet(prev)
-                   .filter("NOT accepted").drop("accepted"))
+        pending = _read_pending(
+            spark, os.path.join(ckpt, f"level={start_level - 1}", "out"))
 
     kernel = _unified_kernel(cfg, root_aabb, root_spacing)
     group_key = _native_cell_key(cfg)
@@ -481,7 +480,14 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             out_df.count()   # materialize the level
             level_dfs.append(out_df)
         else:
-            out_df.write.mode("overwrite").parquet(os.path.join(lv_dir, "out"))
+            # hive-partition by `accepted`: ONE write, but the next
+            # level's NOT-accepted read partition-prunes the finalized
+            # rows away entirely and the final assignments union reads
+            # only accepted=true dirs — at deep levels (mostly-leaf
+            # output) this halves checkpoint read volume, which on a
+            # fault-bound host is wall-clock
+            (out_df.write.mode("overwrite").partitionBy("accepted")
+             .parquet(os.path.join(lv_dir, "out")))
         t_kernel = time.time() - t0
 
         modes = {}
@@ -503,9 +509,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
         if memory_mode:
             pending = out_df.filter("NOT accepted").drop("accepted")
         else:
-            pending = (spark.read.schema(KERNEL_SCHEMA)
-                       .parquet(os.path.join(lv_dir, "out"))
-                       .filter("NOT accepted").drop("accepted"))
+            pending = _read_pending(spark, os.path.join(lv_dir, "out"))
 
     spark.conf.set(_coalesce_key, _coalesce_prev)
     if input_cached is not None:
@@ -522,13 +526,16 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                 df.filter("accepted").select("point_id", "tile_id")
                 for df in level_dfs])
     else:
-        # explicit per-level paths (not a level=* glob): stale dirs from
-        # other runs can never leak in, and Spark skips the streaming-
-        # metadata probe that logs a spurious FileNotFoundException WARN
-        level_outs = [os.path.join(ckpt, f"level={s['level']}", "out")
-                      for s in counters["levels"]]
-        assignments = (spark.read.schema(KERNEL_SCHEMA).parquet(*level_outs)
-                       .filter("accepted").select("point_id", "tile_id")
+        # explicit per-level accepted=true subdirs (not a level=* glob):
+        # stale dirs from other runs can never leak in, no multi-root
+        # partition discovery, and the pending halves of every level are
+        # never even listed — the union reads exactly the finalized rows
+        level_outs = [
+            p for s in counters["levels"]
+            if os.path.isdir(p := os.path.join(
+                ckpt, f"level={s['level']}", "out", "accepted=true"))]
+        assignments = (spark.read.schema(PENDING_SCHEMA).parquet(*level_outs)
+                       .select("point_id", "tile_id")
                        ) if level_outs else spark.createDataFrame([], ASSIGN_SCHEMA)
 
     counters["points_total"] = (counters["levels"][0]["points_in"]
@@ -542,6 +549,17 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     return TilingResult(assignments=assignments, root_aabb=root_aabb,
                         root_spacing=root_spacing, counters=counters,
                         checkpoint_dir=ckpt)
+
+
+def _read_pending(spark, out_dir: str) -> DataFrame:
+    """Pending rows of a hive-partitioned level checkpoint: target the
+    accepted=false subdir directly — the finalized rows are never listed,
+    let alone scanned. A level where everything finalized has no such dir:
+    return an empty frame (the loop's next count pass then completes)."""
+    p = os.path.join(out_dir, "accepted=false")
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], PENDING_SCHEMA)
+    return spark.read.schema(PENDING_SCHEMA).parquet(p)
 
 
 def cleanup_checkpoint(result: TilingResult) -> None:

@@ -77,8 +77,10 @@ def main(argv=None) -> int:
     e.add_argument("--output", required=True)
     e.add_argument("--texture-uri", default=None,
                    help="emit textured glb referencing this image uri "
-                        "(parquet input must carry a `uvs` binary column "
-                        "of per-vertex f32 UV pairs)")
+                        "(parquet input must carry a `uv_wkb` binary "
+                        "column: a same-topology 2D multipolygon of "
+                        "texture coordinates — UVs are threaded through "
+                        "the engine's own triangulation)")
     e.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 

@@ -213,6 +213,14 @@ class TriangleSoup:
     def __init__(self, tris, data_tris=None):
         self._tris = tris
         self._data = data_tris or []
+        self._arrays = None       # cached (positions, normals, bbox)
+
+    def _compute(self):
+        # the reference usage pattern calls getPositionArray,
+        # getNormalArray and getBbox on one soup — compute the trio once
+        if self._arrays is None:
+            self._arrays = triangles_to_arrays(self._tris)
+        return self._arrays
 
     @staticmethod
     def from_wkb_multipolygon(wkb, associatedData=()) -> "TriangleSoup":
@@ -224,19 +232,16 @@ class TriangleSoup:
         return TriangleSoup(wkb_to_triangles(bytes(wkb)))
 
     def getPositionArray(self) -> bytes:
-        pos, _, _ = triangles_to_arrays(self._tris)
-        return pos
+        return self._compute()[0]
 
     def getNormalArray(self) -> bytes:
-        _, norm, _ = triangles_to_arrays(self._tris)
-        return norm
+        return self._compute()[1]
 
     def getDataArray(self, index: int) -> bytes:
         return data_triangles_to_array(self._data[index], dim=2)
 
     def getBbox(self):
-        _, _, bbox = triangles_to_arrays(self._tris)
-        return bbox
+        return self._compute()[2]
 
 
 class TileContentReader:

@@ -54,6 +54,12 @@ def triangulate_features(geoms: DataFrame, wkb_col: str = "wkb",
         data_triangles_to_array, triangles_to_arrays, wkb_to_triangles)
 
     has_uv = uv_wkb_col in geoms.columns
+    if "uvs" in geoms.columns:
+        raise ValueError(
+            "input carries a precomputed `uvs` column: UV vertex streams "
+            "cannot be precomputed — they must match THIS triangulation's "
+            "ear-clip diagonals. Provide the UV rings as a `uv_wkb` "
+            "multipolygon column instead (same topology as `wkb`).")
     extras = [c for c, _ in geoms.dtypes
               if c not in (wkb_col, id_col, uv_wkb_col)]
     extra_types = dict(geoms.dtypes)

@@ -378,6 +378,12 @@ def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
        At scale this is the standard two-pass shape: one cheap pass
        answers ~all queries, the few incomplete ones re-run wider.
 
+    NOTE a query whose probed rings hold ZERO points produces NO output
+    rows at all (an equi-join cannot emit it), so the incomplete set for
+    the second pass is `filter(NOT complete)` PLUS the absent queries:
+    ``queries.join(result, "q_id", "left_anti")``. The same applies to
+    knn_join_bucketed at non-exhaustive probe counts.
+
     Returns (q_id, n_id, dist, rank<=k, complete)."""
     cell = float(cell_size)
 

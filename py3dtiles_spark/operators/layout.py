@@ -32,6 +32,10 @@ def zorder_key_expr(cols: list[str], bounds: list[tuple[float, float]],
     fit a signed long."""
     if len(cols) < 2:
         raise ValueError("z-order needs >= 2 columns")
+    if len(bounds) != len(cols):
+        raise ValueError(
+            f"bounds has {len(bounds)} entries for {len(cols)} cols — "
+            "zip would silently drop trailing columns from the key")
     if len(cols) * bits > MAX_TOTAL_BITS:
         raise ValueError(
             f"{len(cols)} cols x {bits} bits > {MAX_TOTAL_BITS}")

@@ -23,11 +23,19 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     row column; defaults to all big-side columns), the small side is
     replicated n_salt times via a literal explode, and the join runs on
     (key, salt) — a hot key's rows now land in n_salt reducers instead of
-    one. Result rows are identical to big.join(small, key, how).
+    one. Result rows are identical to big.join(small, key, how) for
+    inner/left joins ONLY: right/full outer would emit one null-padded
+    row PER SALT REPLICA for every unmatched small-side key (n_salt
+    duplicates), so those modes are rejected.
 
     Cost model: small side ships n_salt copies (use for dim-table-sized
     smalls; for broadcastable smalls just broadcast — salting is for the
     in-between: too big to broadcast, key too hot for one reducer)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: an "
+            "outer small side would duplicate unmatched rows n_salt "
+            "times (one per replica)")
     salt_src = (F.xxhash64(*[F.col(c) for c in big.columns])
                 if salt_by is None else F.xxhash64(F.col(salt_by)))
     b = big.withColumn("_salt", F.pmod(salt_src, F.lit(n_salt)).cast("int"))

@@ -529,14 +529,23 @@ def build_tiling(spark: SparkSession, points: DataFrame,
         # explicit per-level accepted=true subdirs (not a level=* glob):
         # stale dirs from other runs can never leak in, no multi-root
         # partition discovery, and the pending halves of every level are
-        # never even listed — the union reads exactly the finalized rows
-        level_outs = [
-            p for s in counters["levels"]
-            if os.path.isdir(p := os.path.join(
-                ckpt, f"level={s['level']}", "out", "accepted=true"))]
-        assignments = (spark.read.schema(PENDING_SCHEMA).parquet(*level_outs)
-                       .select("point_id", "tile_id")
-                       ) if level_outs else spark.createDataFrame([], ASSIGN_SCHEMA)
+        # never even listed — the union reads exactly the finalized rows.
+        # Levels resumed from a pre-r4 FLAT checkpoint read the old way.
+        parts = []
+        for s in counters["levels"]:
+            out = os.path.join(ckpt, f"level={s['level']}", "out")
+            if _is_legacy_level_dir(out):
+                parts.append(spark.read.schema(KERNEL_SCHEMA).parquet(out)
+                             .filter("accepted")
+                             .select("point_id", "tile_id"))
+            elif os.path.isdir(p := os.path.join(out, "accepted=true")):
+                parts.append(spark.read.schema(PENDING_SCHEMA).parquet(p)
+                             .select("point_id", "tile_id"))
+        if parts:
+            from functools import reduce
+            assignments = reduce(DataFrame.unionByName, parts)
+        else:
+            assignments = spark.createDataFrame([], ASSIGN_SCHEMA)
 
     counters["points_total"] = (counters["levels"][0]["points_in"]
                                 if counters["levels"] else 0)
@@ -551,11 +560,27 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                         checkpoint_dir=ckpt)
 
 
+def _is_legacy_level_dir(out_dir: str) -> bool:
+    """True when `out_dir` is a pre-r4 FLAT checkpoint (parquet files with
+    an `accepted` column, no hive accepted=*/ subdirs). Distinguishing it
+    from 'partitioned but fully-accepted' matters: treating a legacy dir
+    as 'no pending' would silently drop every prior level on resume."""
+    if (os.path.isdir(os.path.join(out_dir, "accepted=false"))
+            or os.path.isdir(os.path.join(out_dir, "accepted=true"))):
+        return False
+    return any(f.endswith(".parquet")
+               for f in os.listdir(out_dir)) if os.path.isdir(out_dir) else False
+
+
 def _read_pending(spark, out_dir: str) -> DataFrame:
-    """Pending rows of a hive-partitioned level checkpoint: target the
+    """Pending rows of a level checkpoint. Hive layout (r4+): target the
     accepted=false subdir directly — the finalized rows are never listed,
-    let alone scanned. A level where everything finalized has no such dir:
-    return an empty frame (the loop's next count pass then completes)."""
+    let alone scanned; a level where everything finalized has no such dir
+    (empty frame; the loop's next count pass then completes). Legacy flat
+    layout (resuming a pre-r4 checkpoint): full read + filter."""
+    if _is_legacy_level_dir(out_dir):
+        return (spark.read.schema(KERNEL_SCHEMA).parquet(out_dir)
+                .filter("NOT accepted").drop("accepted"))
     p = os.path.join(out_dir, "accepted=false")
     if not os.path.isdir(p):
         return spark.createDataFrame([], PENDING_SCHEMA)

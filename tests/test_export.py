@@ -318,3 +318,15 @@ def test_export_cli_textured_parquet(spark, tmp_path):
     # uv stream is 2/3 the position stream (VEC2 vs VEC3)
     views = hdr["bufferViews"]
     assert views[2]["byteLength"] * 3 == views[0]["byteLength"] * 2
+
+
+def test_triangulate_features_rejects_precomputed_uvs(spark):
+    """A precomputed `uvs` input column can never match this
+    triangulation's diagonals — must error clearly, not emit corrupt
+    glb offsets."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), bytearray(b"y"))],
+        "geom_id long, wkb binary, uvs binary")
+    from py3dtiles_spark.operators.export import triangulate_features
+    with pytest.raises(ValueError, match="uv_wkb"):
+        triangulate_features(df)

@@ -738,6 +738,39 @@ def q_domain_stats(spark, sf_dir):
     return (domain_stats(kept, chars_col="n_chars").orderBy("domain"))
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-tool correctness as a gate row: the deterministic salted
+    equi-join (hot-key spread over n_salt reducers) must aggregate
+    identically to the plain SQL join — events joined to a user-tier dim
+    derived from the same table, rolled up per tier."""
+    from py3dtiles_spark.operators.skew import salted_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (ev.select("user_id").distinct()
+           .select("user_id", F.pmod("user_id", F.lit(4)).cast("long")
+                   .alias("tier")))
+    j = salted_join(ev.select("event_id", "user_id", "value"), dim,
+                    "user_id", n_salt=8)
+    return (j.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .orderBy("tier"))
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order layout key math as a gate row: the native Morton
+    interleave over quantized (x, y) — the same key zorder_layout range-
+    partitions files by — bucketed by its coarse prefix (top 8 of 16
+    interleaved bits), counted. The DuckDB twin rebuilds the identical
+    bit arithmetic."""
+    from py3dtiles_spark.operators.layout import zorder_key_expr
+    g = _geo(spark, sf_dir)
+    key = zorder_key_expr(["x", "y"], [(-180.0, 180.0), (-90.0, 90.0)],
+                          bits=8)
+    return (g.select(F.shiftright(key, 8).alias("zbucket"))
+            .groupBy("zbucket").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("zbucket"))
+
+
 def q_raster_cells(spark, sf_dir):
     """North-rule vector->raster: footprint rasterization (center-in-rect
     coverage), native sequence-explode — zero Python."""
@@ -942,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "geohash_cells": q_geohash_cells,
         "domain_stats": q_domain_stats,
+        "salted_join": q_salted_join,
+        "zorder_key": q_zorder_key,
         "raster_cells": q_raster_cells,
         "raster_pyramid": q_raster_pyramid,
         "raster_vectorize": q_raster_vectorize,
@@ -1306,6 +1341,24 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": f"""{geo}
             SELECT {gh_sql} AS gh, count(*) AS n
             FROM geo GROUP BY 1 ORDER BY gh""",
+        "salted_join": """
+            WITH dim AS (SELECT DISTINCT user_id,
+                                (user_id % 4)::BIGINT AS tier FROM events)
+            SELECT tier, count(*) AS n, round(sum(value), 4) AS total
+            FROM events e JOIN dim USING (user_id)
+            GROUP BY tier ORDER BY tier""",
+        "zorder_key": f"""{geo}, q AS (
+                SELECT least(greatest(CAST(floor((x - (-180.0)) / 360.0
+                           * 256) AS BIGINT), 0), 255) AS qx,
+                       least(greatest(CAST(floor((y - (-90.0)) / 180.0
+                           * 256) AS BIGINT), 0), 255) AS qy
+                FROM geo),
+            k AS (SELECT ({" | ".join(
+                f"(((qx >> {b}) & 1) << {2 * b}) | "
+                f"(((qy >> {b}) & 1) << {2 * b + 1})"
+                for b in range(8))}) AS zkey FROM q)
+            SELECT (zkey >> 8) AS zbucket, count(*) AS n
+            FROM k GROUP BY 1 ORDER BY zbucket""",
         "tfidf_terms": """
             WITH d AS (SELECT doc_id, text FROM documents
                        WHERE doc_id < 200),

@@ -250,6 +250,22 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(d, k=3).orderBy("doc_id", "rk")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filter signal: per-lang average and max
+    duplicate-3-gram fraction (1 - distinct/total n-grams per doc) —
+    pure per-row native exprs (transform+slice, no explode), one
+    map-side-combined agg."""
+    from py3dtiles_spark.functions.text import dup_ngram_fraction
+    d = _docs(spark, sf_dir).filter("doc_id < 400")
+    frac = F.round(dup_ngram_fraction("text", 3), 6)
+    return (d.select("lang", frac.alias("f"))
+            .groupBy("lang")
+            .agg(F.round(F.avg("f"), 6).alias("avg_dup3"),
+                 F.max("f").alias("max_dup3"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("lang"))
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation in one declarative plan:
     quality gate (length + token floor + punctuation-density ceiling) ->
@@ -945,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "corpus_curation": q_corpus_curation,
         "tfidf_terms": q_tfidf_terms,
+        "repetition_stats": q_repetition_stats,
         "fingerprint": q_fingerprint,
         "neardup_pairs": q_neardup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1341,6 +1358,26 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": f"""{geo}
             SELECT {gh_sql} AS gh, count(*) AS n
             FROM geo GROUP BY 1 ORDER BY gh""",
+        "repetition_stats": """
+            WITH d AS (SELECT doc_id, lang,
+                              list_filter(string_split(text, ' '),
+                                          t -> t <> '') AS toks
+                       FROM documents WHERE doc_id < 400),
+            g AS (SELECT doc_id, lang,
+                         CASE WHEN len(toks) >= 3 THEN len(toks) - 2
+                              ELSE 0 END AS cnt, toks
+                  FROM d),
+            frac AS (SELECT doc_id, lang,
+                round(CASE WHEN cnt <= 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(list_transform(
+                               range(1, cnt + 1),
+                               i -> toks[i] || ' ' || toks[i+1]
+                                    || ' ' || toks[i+2])))
+                           / CAST(cnt AS DOUBLE) END, 6) AS f
+                FROM g)
+            SELECT lang, round(avg(f), 6) AS avg_dup3,
+                   max(f) AS max_dup3, count(*) AS n
+            FROM frac GROUP BY lang ORDER BY lang""",
         "salted_join": """
             WITH dim AS (SELECT DISTINCT user_id,
                                 (user_id % 4)::BIGINT AS tier FROM events)

@@ -141,3 +141,18 @@ def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
     return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= k)
             .select(id_col, "term", "tf", "score", "rk"))
+
+
+def dup_ngram_fraction(text_col: str = "text", n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document
+    (1 - distinct/total). High values flag boilerplate/spam/looping
+    generations — a standard pre-training quality filter. Pure native
+    exprs: the n-gram array is built with transform+slice (no explode,
+    no shuffle — per-row compute only)."""
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(cnt <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / cnt.cast("double"))

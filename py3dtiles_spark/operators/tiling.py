@@ -7,8 +7,10 @@ build is a level-synchronous iteration (SURVEY.md §3.1 "Spark shape").
 
 Per level, exactly TWO jobs:
 
-  1. counts: groupBy(tile_id).count() — one row per live node, collected to
-     the driver (node-count sized). The driver assigns each node a mode:
+  1. routing: groupBy(tile_id).agg(count, bbox) — one row per live node,
+     kept DISTRIBUTED (r5): a DataFrame plan (native when() + an Arrow
+     kernel over only the big-node rows) assigns each node a mode; the
+     driver sees just the <=4-row per-mode histogram. Modes:
        leaf   count < 20000 or spacing floor  -> accept all (node.py:70-73)
        local  count <= in_kernel_threshold    -> one task recurses the WHOLE
               subtree (the reference's depth-limited pipelining,
@@ -34,10 +36,12 @@ Points are carried NARROW through the loop (point_id + xyz float32 only);
 payload columns (url, html, text...) are joined back once at the end — at
 100 TB you never shuffle the html through the tree.
 
-The driver-side node list is one row per live node per level. At 10^12 docs
-the deepest levels hold ~1e6 nodes * ~30 bytes — still driver-friendly; the
-counts collect is the same "master knows the work queue" the reference keeps
-in State (convert.py:217-239).
+The per-level node list (one row per live node) never leaves the cluster:
+at 10^12 docs a level can hold ~5e7 live nodes, which would make a driver
+collect the reference master's State-dict bottleneck reborn
+(convert.py:217-239). The routing joins back to pending as a broadcast of
+the node-meta DataFrame; only the per-mode histogram (<=4 rows) is
+collected, for loop termination and the manifest.
 
 Counters (points in / nodes / modes / phase seconds per level) land in a
 manifest JSON per level; the written==read invariant of the reference
@@ -74,9 +78,10 @@ PENDING_SCHEMA = "point_id long, x float, y float, z float, tile_id string"
 KERNEL_SCHEMA = PENDING_SCHEMA + ", accepted boolean"
 ASSIGN_SCHEMA = "point_id long, tile_id string"
 
-# mn*: grid aabb_min (float32, reference Grid constant); s*: cell_count *
-# inv_aabb_size — DOUBLE because the reference numba kernel promotes
-# int32 * float32 to float64 (distance.py:24-27)
+# node_meta columns (produced by _node_meta_df): mn* grid aabb_min
+# (float32, reference Grid constant); s* cell_count * inv_aabb_size —
+# DOUBLE because the reference numba kernel promotes int32 * float32 to
+# float64 (distance.py:24-27)
 _NODE_META_SCHEMA = ("tile_id string, mode string, "
                      "mnx float, mny float, mnz float, "
                      "sx double, sy double, sz double")
@@ -124,6 +129,14 @@ class TilingConfig:
     # forwarded as rejected. None = exact reference semantics.
     grid_sample_cap: Optional[int] = None
     cell_count: int = GRID_INITIAL_CELL_COUNT
+    # levels whose routed node list fits in this many rows ride to the
+    # executors as a LocalRelation broadcast (no extra job, no broadcast
+    # exchange — the sandbox/common case); bigger levels NEVER reach the
+    # driver: their node_meta stays a distributed frame and joins to
+    # pending with a shuffled join (the right call anyway — at ~5e7 nodes
+    # the list is GBs, far past broadcast territory). 200k rows ~= 12 MB
+    # driver-side, a hard bound independent of data scale.
+    node_broadcast_rows: int = 200_000
     # explicit root geometry (float64 (2,3) + spacing). The LAS/XYZ convert
     # plan passes the header-derived float64 aabb here for exact reference
     # parity (convert.py:420-437); None = one agg pass over the points.
@@ -258,54 +271,116 @@ def _unified_kernel(cfg: TilingConfig, root_aabb, root_spacing):
     return kernel
 
 
-def _node_meta_rows(counts_rows, cfg: TilingConfig, root_aabb, root_spacing,
-                    parallelism: int = 32):
-    """Driver-side routing: per live node -> mode + grid constants for cell
-    nodes (aabb_min float32, scale = cell_count * inv_aabb_size float64 —
-    the reference kernel's exact promotion) so the native key expression is
-    bit-identical to the numpy/reference kernel."""
-    spacing_floor = MIN_SPACING * cfg.scale
-    level_total = sum(r["cnt"] for r in counts_rows)
-    local_cutoff = max(
-        cfg.in_kernel_threshold,
-        min(cfg.local_hard_cap,
-            level_total // max(1, cfg.local_parallelism_factor * parallelism)))
-    rows = []
-    for r in counts_rows:
-        tid, cnt = r["tile_id"], r["cnt"]
-        spacing = root_spacing * (0.5 ** len(tid))
-        if cnt < cfg.split_threshold or spacing <= spacing_floor:
-            rows.append((tid, "leaf", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-            continue
-        if cnt > cfg.in_kernel_threshold:
-            # clustered-node check: when the node's whole bbox maps into a
-            # SINGLE child octant (megacity cluster), the 'express' kernel
-            # can accept AND descend level-by-level in one task — one
-            # shuffle round for the entire hot chain — re-emitting at the
-            # depth where the cluster finally spreads, where cell/local
-            # fan-out parallelizes. Preferred over a monolithic local task
-            # for big clustered nodes (the local task would also pay the
-            # deep spread serially).
-            frame = node_frame(tid, root_aabb, root_spacing)
-            corners = np.array([[r["bx0"], r["by0"], r["bz0"]],
-                                [r["bx1"], r["by1"], r["bz1"]]],
+def _node_geom_udf(cfg: TilingConfig, root_aabb, root_spacing):
+    """Arrow-batched per-node geometry for the big-node rows only
+    (`need`=true, i.e. non-leaf with cnt > in_kernel_threshold): the
+    express single-child corner test plus the cell-grid constants
+    (aabb_min float32, scale = cell_count * inv_aabb_size float64 — the
+    reference kernel's exact promotion, node.py:30 / distance.py:24-27).
+    Node-count sized, never point-count sized."""
+    cell_count = cfg.cell_count
+    ra = np.asarray(root_aabb, dtype=np.float64)
+    rs = float(root_spacing)
+
+    @F.pandas_udf("express boolean, mnx float, mny float, mnz float, "
+                  "sx double, sy double, sz double")
+    def geom(tile_id: pd.Series, need: pd.Series,
+             bx0: pd.Series, by0: pd.Series, bz0: pd.Series,
+             bx1: pd.Series, by1: pd.Series,
+             bz1: pd.Series) -> pd.DataFrame:
+        n = len(tile_id)
+        out = {"express": np.zeros(n, dtype=bool),
+               "mnx": np.zeros(n, np.float32),
+               "mny": np.zeros(n, np.float32),
+               "mnz": np.zeros(n, np.float32),
+               "sx": np.zeros(n, np.float64),
+               "sy": np.zeros(n, np.float64),
+               "sz": np.zeros(n, np.float64)}
+        for i in np.flatnonzero(need.to_numpy()):
+            frame = node_frame(tile_id.iat[i], ra, rs)
+            corners = np.array([[bx0.iat[i], by0.iat[i], bz0.iat[i]],
+                                [bx1.iat[i], by1.iat[i], bz1.iat[i]]],
                                dtype=np.float32)
             cd = child_index_for_node(corners, frame)
             if cd[0] == cd[1]:
-                rows.append((tid, "express", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+                out["express"][i] = True
                 continue
-        if cnt <= local_cutoff:
-            rows.append((tid, "local", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-        else:
-            frame = node_frame(tid, root_aabb, root_spacing)
             inv = np.float32(1.0) / frame.size          # f32 (node.py:30)
-            scale = (np.array([cfg.cell_count] * 3, dtype=np.int32)
+            scale = (np.array([cell_count] * 3, dtype=np.int32)
                      * inv)                             # int32*f32 -> f64
-            rows.append((tid, "cell",
-                         float(frame.aabb[0][0]), float(frame.aabb[0][1]),
-                         float(frame.aabb[0][2]),
-                         float(scale[0]), float(scale[1]), float(scale[2])))
-    return rows
+            out["mnx"][i], out["mny"][i], out["mnz"][i] = frame.aabb[0]
+            out["sx"][i], out["sy"][i], out["sz"][i] = scale
+        return pd.DataFrame(out)
+
+    return geom
+
+
+def _local_cutoff(cfg: TilingConfig, est_total: Optional[int],
+                  parallelism: int) -> int:
+    """Effective local-mode cutoff (see TilingConfig). `est_total` is the
+    level's point total — known exactly on the driver as the PREVIOUS
+    level's points_in (each level's input is a subset of the prior one),
+    None for level 0 / resume without manifests, where the conservative
+    in_kernel_threshold applies. The estimate can only overshoot, which
+    only ever nudges a would-be 'cell' node to 'local' — a plan heuristic,
+    never a semantics change (every mode computes identical assignments).
+    For any level with total <= in_kernel_threshold * parallelism (all
+    sandbox workloads) the estimate and the exact value produce the SAME
+    cutoff, so plans are bit-identical to the exact-total rule there."""
+    if est_total is None:
+        return cfg.in_kernel_threshold
+    den = max(1, cfg.local_parallelism_factor * parallelism)
+    return max(cfg.in_kernel_threshold,
+               min(cfg.local_hard_cap, est_total // den))
+
+
+def _node_meta_df(counts: DataFrame, cfg: TilingConfig, root_aabb,
+                  root_spacing, local_cutoff: int) -> DataFrame:
+    """Distributed node routing: per live node -> mode (+ grid constants
+    for cell nodes). The r1-r4 engine collected the per-level node list to
+    the driver and rebuilt it row-by-row — fine at sandbox scale but the
+    reference master's State dict reborn: at 10^12 points a level can hold
+    ~5x10^7 live nodes. Here the routing is a DataFrame plan over the
+    (tile_id, cnt, bbox) aggregate:
+
+      leaf / local / cell         native when() over cnt + name-derived
+                                  spacing (pow(0.5, length(tile_id)))
+      express corner test +       Arrow kernel over ONLY the big-node rows
+      cell grid constants         (_node_geom_udf)
+
+    build_tiling fetches the result through a BOUNDED limit probe
+    (node_broadcast_rows); an over-cap level never reaches the driver.
+
+    Mode rule (identical to r4, reference node.py:70-73 +
+    node_process.py:82-90 generalized):
+      leaf     cnt < split_threshold or spacing <= floor -> accept all
+      express  big node whose bbox sits in ONE child octant
+      local    cnt <= local_cutoff -> whole subtree in one task
+      cell     fan out per LOD-grid cell
+    """
+    spacing_floor = float(MIN_SPACING * cfg.scale)
+    c = counts
+    spacing = (F.lit(float(root_spacing))
+               * F.pow(F.lit(0.5), F.length("tile_id")))
+    is_leaf = ((F.col("cnt") < int(cfg.split_threshold))
+               | (spacing <= F.lit(spacing_floor)))
+    need_geom = (~is_leaf) & (F.col("cnt") > int(cfg.in_kernel_threshold))
+
+    geom = _node_geom_udf(cfg, root_aabb, root_spacing)
+    c = c.withColumn("g", geom(
+        F.col("tile_id"), need_geom,
+        F.col("bx0"), F.col("by0"), F.col("bz0"),
+        F.col("bx1"), F.col("by1"), F.col("bz1")))
+    mode = (F.when(is_leaf, F.lit("leaf"))
+            .when(need_geom & F.col("g.express"), F.lit("express"))
+            .when(F.col("cnt") <= F.lit(int(local_cutoff)), F.lit("local"))
+            .otherwise(F.lit("cell")))
+    return c.select(
+        "tile_id", mode.alias("mode"), "cnt",
+        F.col("g.mnx").alias("mnx"), F.col("g.mny").alias("mny"),
+        F.col("g.mnz").alias("mnz"),
+        F.col("g.sx").alias("sx"), F.col("g.sy").alias("sy"),
+        F.col("g.sz").alias("sz"))
 
 
 def _root_route_expr(root_aabb, root_spacing):
@@ -427,6 +502,12 @@ def build_tiling(spark: SparkSession, points: DataFrame,
 
     kernel = _unified_kernel(cfg, root_aabb, root_spacing)
     group_key = _native_cell_key(cfg)
+    # level-total estimate for the local cutoff: the previous level's
+    # points_in (this level's input is a subset of it); on resume, the
+    # last completed manifest. None (level 0 of a fresh run) -> the
+    # conservative in_kernel_threshold cutoff (see _local_cutoff).
+    est_total = (counters["levels"][-1]["points_in"]
+                 if counters["levels"] else None)
     complete = False
     level_dfs: list[DataFrame] = []   # memory mode: persisted level outputs
 
@@ -441,28 +522,60 @@ def build_tiling(spark: SparkSession, points: DataFrame,
         lv_dir = os.path.join(ckpt, f"level={level}")
         t0 = time.time()
         # per-node count + bbox in ONE agg pass: the bbox costs nothing
-        # extra (same shuffle) and lets the driver spot tight-cluster
+        # extra (same shuffle) and lets the routing spot tight-cluster
         # nodes (megacities) whose whole point set sits within one spacing
         # — those get 'express' mode instead of a multi-second local task
-        counts_rows = (pending.groupBy("tile_id")
-                       .agg(F.count("*").alias("cnt"),
-                            F.min("x").alias("bx0"), F.min("y").alias("by0"),
-                            F.min("z").alias("bz0"),
-                            F.max("x").alias("bx1"), F.max("y").alias("by1"),
-                            F.max("z").alias("bz1")).collect())
+        counts = (pending.groupBy("tile_id")
+                  .agg(F.count("*").alias("cnt"),
+                       F.min("x").alias("bx0"), F.min("y").alias("by0"),
+                       F.min("z").alias("bz0"),
+                       F.max("x").alias("bx1"), F.max("y").alias("by1"),
+                       F.max("z").alias("bz1")))
+        cutoff = _local_cutoff(
+            cfg, est_total,
+            cfg.plan_parallelism or spark.sparkContext.defaultParallelism)
+        node_meta_full = _node_meta_df(counts, cfg, root_aabb, root_spacing,
+                                       cutoff)
+        # BOUNDED probe: a level with <= node_broadcast_rows live nodes
+        # (every sandbox level; most real levels) comes back whole in the
+        # ONE routing job — histogram driver-side, node list re-shipped as
+        # a LocalRelation broadcast (no broadcast-exchange job). Over-cap
+        # levels never reach the driver: histogram via a tiny cached agg,
+        # node_meta stays distributed and joins by shuffle.
+        cap = int(cfg.node_broadcast_rows)
+        node_meta_full = node_meta_full.persist()
+        probe = node_meta_full.limit(cap + 1).collect()
+        broadcast_path = len(probe) <= cap
+        if broadcast_path:
+            node_meta_full.unpersist()
+            modes, n_nodes, n_in = {}, len(probe), 0
+            for r in probe:
+                modes[r["mode"]] = modes.get(r["mode"], 0) + 1
+                n_in += r["cnt"]
+        else:
+            stats_rows = (node_meta_full.groupBy("mode")
+                          .agg(F.count("*").alias("nodes"),
+                               F.sum("cnt").alias("pts")).collect())
+            modes = {r["mode"]: int(r["nodes"]) for r in stats_rows}
+            n_nodes = int(sum(r["nodes"] for r in stats_rows))
+            n_in = int(sum(r["pts"] for r in stats_rows))
         t_counts = time.time() - t0
-        n_in = sum(r["cnt"] for r in counts_rows)
         if n_in == 0:
+            if not broadcast_path:
+                node_meta_full.unpersist()
             complete = True
             break
-
-        meta_rows = _node_meta_rows(
-            counts_rows, cfg, root_aabb, root_spacing,
-            cfg.plan_parallelism or spark.sparkContext.defaultParallelism)
-        node_meta = spark.createDataFrame(meta_rows, _NODE_META_SCHEMA)
+        est_total = n_in   # next level's input is a subset of this one's
 
         t0 = time.time()
-        tagged = pending.join(F.broadcast(node_meta), "tile_id")
+        if broadcast_path:
+            node_meta = spark.createDataFrame(
+                [(r["tile_id"], r["mode"], r["mnx"], r["mny"], r["mnz"],
+                  r["sx"], r["sy"], r["sz"]) for r in probe],
+                _NODE_META_SCHEMA)
+            tagged = pending.join(F.broadcast(node_meta), "tile_id")
+        else:
+            tagged = pending.join(node_meta_full.drop("cnt"), "tile_id")
         # leaf rows (the bulk at deep levels) are final as-is: pure JVM
         # filter, NO shuffle, NO Python — node.py:70-73 leaf semantics
         leaf_rows = (tagged.filter(F.col("mode") == "leaf")
@@ -489,12 +602,11 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             (out_df.write.mode("overwrite").partitionBy("accepted")
              .parquet(os.path.join(lv_dir, "out")))
         t_kernel = time.time() - t0
+        if not broadcast_path:
+            node_meta_full.unpersist()
 
-        modes = {}
-        for _, mode, *_ in meta_rows:
-            modes[mode] = modes.get(mode, 0) + 1
         lv_stats = {"level": level, "points_in": n_in,
-                    "nodes": len(meta_rows), "modes": modes,
+                    "nodes": n_nodes, "modes": modes,
                     "sec_counts": round(t_counts, 3),
                     "sec_kernel": round(t_kernel, 3)}
         if not memory_mode:

@@ -120,3 +120,22 @@ def test_express_mode_matches_replay(spark, tmp_path):
     assert "express" in modes            # the hot cluster took the new path
     assert all(got[int(i)] == t for i, t in zip(ids, expected))
     cleanup_checkpoint(res)
+
+
+def test_distributed_routing_over_cap(spark, tmp_path):
+    """node_broadcast_rows below the live-node count forces the fully
+    distributed routing path (shuffled node_meta join, histogram-only
+    driver traffic) — must produce the exact same assignments as the
+    LocalRelation broadcast path."""
+    ids, xyz = ripple_cloud(30_000)
+    expected, _, _ = replay_tiling(ids, xyz, split_threshold=2000)
+    cfg = TilingConfig(split_threshold=2000, in_kernel_threshold=6000,
+                       node_broadcast_rows=2,
+                       checkpoint_dir=str(tmp_path / "overcap"))
+    got, res = _engine_assignments(spark, ids, xyz, cfg)
+    exp = {int(i): t for i, t in zip(ids, expected)}
+    mismatches = {i: (exp[i], got[i]) for i in exp if exp[i] != got[i]}
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. " \
+                           f"{list(mismatches.items())[:5]}"
+    assert res.counters["points_assigned"] == len(ids)
+    cleanup_checkpoint(res)

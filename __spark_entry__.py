@@ -486,6 +486,67 @@ def q_ecef_convert(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_utm_convert(spark, sf_dir):
+    """P2 projected-CRS input (r5): UTM 33N (EPSG:32633) -> geodetic via
+    the engine's closed-form Transverse Mercator inverse (EPSG method
+    9807, Krueger order-n^6 series — functions/crs.py tm_inverse_exprs),
+    matching the reference's pyproj srs_in path (las_reader.py:110).
+    Native Column expressions end-to-end; the oracle re-derives the same
+    published series independently in SQL. Rounded to 6 dp (~0.1 m) so the
+    hash is libm-independent."""
+    from py3dtiles_spark.functions.crs import tm_inverse_exprs, utm_params
+    g = _geo(spark, sf_dir).filter("doc_id < 400")
+    g = g.select(
+        "doc_id",
+        (500_000.0 + F.col("x") * 1000.0).alias("x"),
+        ((F.col("y") + 85.0) * 50_000.0).alias("y"))
+    lon_e, lat_e = tm_inverse_exprs(utm_params(32633), "x", "y")
+    return g.select(
+        "doc_id",
+        F.round(lon_e, 6).alias("lon"),
+        F.round(lat_e, 6).alias("lat")).orderBy("doc_id")
+
+
+def _utm_oracle_sql(geo: str) -> str:
+    """DuckDB twin of q_utm_convert: the Karney series written out as SQL
+    with the coefficients computed from the same published formulas."""
+    from py3dtiles_spark.functions.crs import utm_params
+    p = utm_params(32633)
+    k = 1.0 / (p.k0 * p.A)
+    from py3dtiles_spark.functions.crs import _chi_to_lat_coeffs
+    ca, cb, cc, cd = _chi_to_lat_coeffs(p.e2)
+    beta = p.beta
+    # DuckDB has no sinh/cosh: expand to the exponential definitions
+    def sh(t):
+        return f"((exp({t}) - exp(-({t}))) / 2)"
+
+    def ch(t):
+        return f"((exp({t}) + exp(-({t}))) / 2)"
+
+    xi = f"((y + 85.0) * 50000.0 - {p.y0!r}) * {k!r}"
+    eta = f"(500000.0 + x * 1000.0 - {p.x0!r}) * {k!r}"
+    terms_x = " - ".join(
+        [f"{b!r} * sin({2 * j} * xi) * {ch(f'{2 * j} * eta')}"
+         for j, b in enumerate(beta, start=1)])
+    terms_e = " - ".join(
+        [f"{b!r} * cos({2 * j} * xi) * {sh(f'{2 * j} * eta')}"
+         for j, b in enumerate(beta, start=1)])
+    return f"""{geo},
+    u AS (SELECT doc_id, {xi} AS xi, {eta} AS eta
+          FROM geo WHERE doc_id < 400),
+    v AS (SELECT doc_id, xi - {terms_x} AS xp, eta - {terms_e} AS ep
+          FROM u),
+    w AS (SELECT doc_id,
+                 {p.lon0!r} + atan2({sh('ep')}, cos(xp)) AS lon_r,
+                 atan2(sin(xp), sqrt({sh('ep')}*{sh('ep')}
+                       + cos(xp)*cos(xp))) AS chi
+          FROM v)
+    SELECT doc_id, round(degrees(lon_r), 6) AS lon,
+           round(degrees(chi + {ca!r}*sin(2*chi) + {cb!r}*sin(4*chi)
+                 + {cc!r}*sin(6*chi) + {cd!r}*sin(8*chi)), 6) AS lat
+    FROM w ORDER BY doc_id"""
+
+
 _ROT = [[0.8, -0.6, 0.0], [0.6, 0.8, 0.0], [0.0, 0.0, 1.0]]
 
 
@@ -973,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "affine_transform": q_affine_transform,
         "ecef_convert": q_ecef_convert,
+        "utm_convert": q_utm_convert,
         "matrix_transform": q_matrix_transform,
         "fraction_sample": q_fraction_sample,
         "quadrant_route": q_quadrant_route,
@@ -1314,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((6378137.0 / sqrt(1.0 - 0.0066943799901413165 * sin(radians(y)) * sin(radians(y))) * (1.0 - 0.0066943799901413165) + z)
                         * sin(radians(y)), 0) AS BIGINT) AS ecef_z
             FROM geo WHERE doc_id < 500 ORDER BY doc_id""",
+        "utm_convert": _utm_oracle_sql(geo),
         "matrix_transform": f"""{geo}
             SELECT doc_id,
                    round(0.8 * x + -0.6 * y + 0.0 * z, 6) AS rx,

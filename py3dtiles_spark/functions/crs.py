@@ -257,22 +257,204 @@ def lcc_inverse_exprs(p: LCCParams, e_col="x", n_col="y"):
     return F.degrees(lon), F.degrees(lat)
 
 
+# ----------------------------------------------------- Transverse Mercator --
+# EPSG method 9807 (UTM zones EPSG:326xx north / 327xx south) via the
+# Krueger/Karney series in the third flattening n — the published
+# closed-form series (Karney 2011, "Transverse Mercator with an accuracy of
+# a few nanometers", eqs. 35-36 and the alpha/beta coefficient tables; same
+# series EPSG Guidance Note 7-2 prints as its 9807 formula). Order n^6:
+# truncation below a nanometer inside a UTM zone. Matches the reference's
+# pyproj path (las_reader.py:110, convert.py:387-399) for UTM srs_in without
+# proj machinery. Validated in tests/test_crs_tm.py against an INDEPENDENT
+# Snyder eq. 8-9..8-17 implementation, a numerically integrated meridian
+# arc on the central meridian, and forward/inverse roundtrip.
+
+WGS84_N3 = WGS84_F / (2.0 - WGS84_F)       # third flattening n
+WGS84_E = math.sqrt(WGS84_E2)
+
+
+def _tm_alpha(n: float) -> tuple[float, ...]:
+    """Forward series coefficients alpha_1..alpha_6 (Karney 2011, eq. 35)."""
+    return (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+        + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    )
+
+
+def _tm_beta(n: float) -> tuple[float, ...]:
+    """Inverse series coefficients beta_1..beta_6 (Karney 2011, eq. 36)."""
+    return (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    )
+
+
+class TMParams:
+    """Transverse Mercator projection constants (EPSG 9807)."""
+
+    def __init__(self, lon0_deg: float, k0: float = 0.9996,
+                 x0: float = 500_000.0, y0: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.lon0 = math.radians(lon0_deg)
+        self.k0, self.x0, self.y0 = k0, x0, y0
+        self.a, self.f = a, f
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        n = f / (2.0 - f)
+        self.n3 = n
+        # rectifying radius A (Karney eq. 14, order n^6)
+        self.A = a / (1.0 + n) * (1.0 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.alpha = _tm_alpha(n)
+        self.beta = _tm_beta(n)
+
+    # LCCParams-compatible projection interface (plans/convert.py dispatch)
+    def inverse(self, easting, northing):
+        return tm_inverse(self, easting, northing)
+
+    def inverse_exprs(self, e_col="x", n_col="y"):
+        return tm_inverse_exprs(self, e_col, n_col)
+
+
+def tm_forward(p: TMParams, lon_deg, lat_deg):
+    """numpy TM forward: geodetic degrees -> projected (E, N) meters."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64)) - p.lon0
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    # conformal latitude: tau' = sinh(asinh-form Gauss-Schreiber mapping)
+    s = np.sin(lat)
+    tau = np.tan(lat)
+    taup = np.sinh(np.arctanh(s) - p.e * np.arctanh(p.e * s))
+    xi = np.arctan2(taup, np.cos(lon))
+    eta = np.arcsinh(np.sin(lon) / np.hypot(taup, np.cos(lon)))
+    xs, es = xi.copy(), eta.copy()
+    for j, aj in enumerate(p.alpha, start=1):
+        xs = xs + aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        es = es + aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    del tau
+    return p.x0 + p.k0 * p.A * es, p.y0 + p.k0 * p.A * xs
+
+
+def tm_inverse(p: TMParams, easting, northing):
+    """numpy TM inverse: projected meters -> geodetic degrees. Latitude
+    comes from the conformal latitude via the same closed-form Snyder
+    eq. 3-5 series the LCC inverse uses."""
+    xi = (np.asarray(northing, dtype=np.float64) - p.y0) / (p.k0 * p.A)
+    eta = (np.asarray(easting, dtype=np.float64) - p.x0) / (p.k0 * p.A)
+    xp, ep = xi.copy(), eta.copy()
+    for j, bj in enumerate(p.beta, start=1):
+        xp = xp - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        ep = ep - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    lon = p.lon0 + np.arctan2(np.sinh(ep), np.cos(xp))
+    chi = np.arctan2(np.sin(xp), np.hypot(np.sinh(ep), np.cos(xp)))
+    ca, cb, cc, cd = _chi_to_lat_coeffs(p.e2)
+    lat = (chi + ca * np.sin(2 * chi) + cb * np.sin(4 * chi)
+           + cc * np.sin(6 * chi) + cd * np.sin(8 * chi))
+    return np.degrees(lon), np.degrees(lat)
+
+
+def tm_inverse_exprs(p: TMParams, e_col="x", n_col="y"):
+    """Native Column TM inverse (degrees out) — the fixed 6-term beta sums
+    are LINEAR in (xi, eta) trig terms, so the Catalyst tree stays flat
+    (no unrolled fixed-point iteration; same codegen-blowup discipline as
+    lcc_inverse_exprs) and projected->ECEF remains whole-stage-codegen
+    with zero Python."""
+    k = 1.0 / (p.k0 * p.A)
+    xi = (F.col(n_col).cast("double") - F.lit(p.y0)) * k
+    eta = (F.col(e_col).cast("double") - F.lit(p.x0)) * k
+    xp, ep = xi, eta
+    for j, bj in enumerate(p.beta, start=1):
+        xp = xp - bj * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
+        ep = ep - bj * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
+    lon = F.lit(p.lon0) + F.atan2(F.sinh(ep), F.cos(xp))
+    chi = F.atan2(F.sin(xp), F.hypot(F.sinh(ep), F.cos(xp)))
+    ca, cb, cc, cd = _chi_to_lat_coeffs(p.e2)
+    lat = (chi + ca * F.sin(2.0 * chi) + cb * F.sin(4.0 * chi)
+           + cc * F.sin(6.0 * chi) + cd * F.sin(8.0 * chi))
+    return F.degrees(lon), F.degrees(lat)
+
+
+def utm_params(epsg: int) -> TMParams:
+    """UTM zone constants from the EPSG code (326xx north, 327xx south)."""
+    epsg = int(epsg)
+    zone = epsg % 100
+    if not (32601 <= epsg <= 32660 or 32701 <= epsg <= 32760):
+        raise ValueError(f"EPSG:{epsg} is not a WGS84 UTM zone")
+    return TMParams(lon0_deg=zone * 6.0 - 183.0,
+                    y0=0.0 if epsg < 32700 else 10_000_000.0)
+
+
+# --------------------------------------------------------- Web Mercator 3857 --
+# Spherical Pseudo-Mercator (EPSG 1024): the exact closed-form inverse on
+# the authalic sphere R = WGS84_A. Ubiquitous for web-map-derived inputs.
+
+class WebMercatorParams:
+    def inverse(self, easting, northing):
+        x = np.asarray(easting, dtype=np.float64)
+        y = np.asarray(northing, dtype=np.float64)
+        return (np.degrees(x / WGS84_A),
+                np.degrees(np.arctan(np.sinh(y / WGS84_A))))
+
+    def inverse_exprs(self, e_col="x", n_col="y"):
+        return (F.degrees(F.col(e_col).cast("double") / WGS84_A),
+                F.degrees(F.atan(F.sinh(F.col(n_col).cast("double")
+                                        / WGS84_A))))
+
+
+# back-compat interface shims so every projection object exposes
+# inverse/inverse_exprs (plans/convert.py dispatches through these)
+LCCParams.inverse = lambda self, e, n: lcc_inverse(self, e, n)
+LCCParams.inverse_exprs = (
+    lambda self, e_col="x", n_col="y": lcc_inverse_exprs(self, e_col, n_col))
+
+
+def projection_for_epsg(srs_in: int):
+    """Projection object for a supported projected EPSG code, or None for
+    geodetic 4326/4979. Raises for unsupported codes."""
+    srs_in = int(srs_in)
+    if srs_in in (4326, 4979):
+        return None
+    if srs_in in LCC_ZONES:
+        return LCC_ZONES[srs_in]
+    if 32601 <= srs_in <= 32660 or 32701 <= srs_in <= 32760:
+        return utm_params(srs_in)
+    if srs_in == 3857:
+        return WebMercatorParams()
+    raise ValueError(
+        f"EPSG:{srs_in} is not a supported projected CRS (known: UTM "
+        "32601-32660/32701-32760, Web Mercator 3857, Lambert-93 2154, CC "
+        "zones 3942-3950); geodetic 4326/4979 need no unprojection")
+
+
 def convert_to_ecef(x, y, z, epsg_input: int):
     """API parity with the reference's public `convert_to_ecef`
     (utils.py:9-12): (x, y, z, source EPSG) -> EPSG:4978 ECEF meters.
-    Geodetic input (4326/4979) takes the closed form directly; Lambert
-    conformal conic zones unproject first. Accepts scalars or arrays."""
-    if int(epsg_input) in (4326, 4979):
+    Geodetic input (4326/4979) takes the closed form directly; supported
+    projected CRS (LCC zones, UTM, Web Mercator) unproject first. Accepts
+    scalars or arrays."""
+    proj = projection_for_epsg(epsg_input)
+    if proj is None:
         return geodetic_to_ecef(x, y, z)
-    lon, lat = projected_to_geodetic(epsg_input, x, y)
+    lon, lat = proj.inverse(x, y)
     return geodetic_to_ecef(lon, lat, z)
 
 
 def projected_to_geodetic(srs_in: int, easting, northing):
     """numpy dispatch: known projected EPSG -> (lon_deg, lat_deg)."""
-    if int(srs_in) not in LCC_ZONES:
-        raise ValueError(
-            f"EPSG:{srs_in} is not a supported projected CRS (known: "
-            f"Lambert-93 2154, CC zones 3942-3950); geodetic 4326/4979 "
-            "need no unprojection")
-    return lcc_inverse(LCC_ZONES[int(srs_in)], easting, northing)
+    proj = projection_for_epsg(srs_in)
+    if proj is None:
+        return (np.asarray(easting, dtype=np.float64),
+                np.asarray(northing, dtype=np.float64))
+    return proj.inverse(easting, northing)

@@ -79,7 +79,7 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
 
     unproject = None
     if srs_out is not None:
-        from py3dtiles_spark.functions.crs import LCC_ZONES, lcc_inverse
+        from py3dtiles_spark.functions.crs import projection_for_epsg
         if srs_in is None:
             # reference SrsInMissingException (convert.py:379-384)
             raise ValueError("srs_out given but the input carries no CRS: "
@@ -87,16 +87,13 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
         if int(srs_out) != 4978:
             raise ValueError(
                 f"only EPSG:4978 (ECEF) output is supported; got {srs_out}")
-        if int(srs_in) in LCC_ZONES:          # Lambert-93 / CC42-50
-            unproject = LCC_ZONES[int(srs_in)]
-        elif int(srs_in) not in (4326, 4979):
-            raise ValueError(
-                "supported srs_in: geodetic EPSG:4326/4979 or Lambert "
-                f"conformal conic 2154/3942-3950; got {srs_in}")
+        # None for geodetic input; LCC / UTM (EPSG 9807) / Web Mercator
+        # unproject via their closed forms; unsupported codes raise here
+        unproject = projection_for_epsg(int(srs_in))
 
         def _to_ecef(v):
             if unproject is not None:
-                lon, lat = lcc_inverse(unproject, v[0], v[1])
+                lon, lat = unproject.inverse(v[0], v[1])
                 return np.array(geodetic_to_ecef(lon, lat, v[2]))
             return np.array(geodetic_to_ecef(*v))
 
@@ -136,10 +133,9 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
     if srs_out is not None:
         from py3dtiles_spark.functions.crs import ecef_exprs
         if unproject is not None:
-            # projected -> geodetic stays native too: the LCC inverse
-            # unrolls its latitude iteration into pure JVM expressions
-            from py3dtiles_spark.functions.crs import lcc_inverse_exprs
-            lon_e, lat_e = lcc_inverse_exprs(unproject, "x", "y")
+            # projected -> geodetic stays native too: every projection's
+            # inverse is a closed-form series in pure JVM expressions
+            lon_e, lat_e = unproject.inverse_exprs("x", "y")
             points = points.select(
                 "point_id", lon_e.alias("x"), lat_e.alias("y"),
                 F.col("z").cast("double").alias("z"), "r", "g", "b")

@@ -388,10 +388,21 @@ def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
     cell = float(cell_size)
 
     def cell_id(xc, yc, zc):
+        # bins clamp to [0, 2^21) exactly like geometry._pack_bins:
+        # without the clamp, coordinates beyond ~cell_size * 2^20 (ECEF
+        # meters at cell_size=1) overflow the signed-long pack and fail
+        # under ANSI mode. Clamping aliases everything beyond the range
+        # edge into the boundary bin — those rows become candidates (then
+        # distance-filtered), never silently missed, and the per-query
+        # `complete` flag remains the correctness gate.
         m = F.lit(1 << 21)
-        return ((F.floor(xc / cell).cast("long") + F.lit(1 << 20)) * m
-                + (F.floor(yc / cell).cast("long") + F.lit(1 << 20))) * m \
-            + (F.floor(zc / cell).cast("long") + F.lit(1 << 20))
+
+        def b(c):
+            raw = F.floor(c / cell).cast("long") + F.lit(1 << 20)
+            return F.least(F.greatest(raw, F.lit(0)),
+                           F.lit((1 << 21) - 1))
+
+        return (b(xc) * m + b(yc)) * m + b(zc)
 
     p = points.select(F.col(id_col).alias("n_id"),
                       F.col("x").alias("_px"), F.col("y").alias("_py"),
@@ -399,19 +410,29 @@ def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
                       cell_id(F.col("x"), F.col("y"),
                               F.col("z")).alias("cell_id"))
     r = n_rings
-    m = 1 << 21
-    offsets = [((dx * m) + dy) * m + dz
-               for dx in range(-r, r + 1) for dy in range(-r, r + 1)
-               for dz in range(-r, r + 1)]
+    m = F.lit(1 << 21)
+
+    def clamp(b):
+        return F.least(F.greatest(b, F.lit(0)), F.lit((1 << 21) - 1))
+
+    def qbin(col):
+        return F.floor(F.col(col) / cell).cast("long") + F.lit(1 << 20)
+
+    # neighbor cells clamp PER AXIS (adding a packed offset to a boundary
+    # cell id would overflow the signed long); array_distinct collapses
+    # the ring cells that alias onto the boundary bin so a (q, n) pair is
+    # never produced twice
+    ring = [
+        (clamp(qbin("x") + dx) * m + clamp(qbin("y") + dy)) * m
+        + clamp(qbin("z") + dz)
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+        for dz in range(-r, r + 1)]
     q = (queries.select(F.col(q_id_col).alias("q_id"),
                         F.col("x").alias("_qx"), F.col("y").alias("_qy"),
                         F.col("z").alias("_qz"),
-                        cell_id(F.col("x"), F.col("y"),
-                                F.col("z")).alias("_qcell"))
-         .withColumn("_off", F.explode(F.array(
-             *[F.lit(o).cast("long") for o in offsets])))
-         .withColumn("cell_id", F.col("_qcell") + F.col("_off"))
-         .drop("_off", "_qcell"))
+                        F.array_distinct(F.array(*ring)).alias("_cells"))
+         .withColumn("cell_id", F.explode("_cells"))
+         .drop("_cells"))
     dist = F.sqrt((F.col("_px") - F.col("_qx")) ** 2
                   + (F.col("_py") - F.col("_qy")) ** 2
                   + (F.col("_pz") - F.col("_qz")) ** 2)

@@ -325,3 +325,25 @@ def test_knn_join_points_exact_when_complete(spark):
         ._jdf.queryExecution().executedPlan().toString()
     for marker in ("FlatMap", "ArrowEval", "BatchEval", "CartesianProduct"):
         assert marker not in plan
+
+
+def test_knn_join_points_ecef_scale_coords(spark):
+    """ADVICE r4: coordinates beyond cell_size * 2^20 (e.g. ECEF meters at
+    cell_size=1) must not overflow the cell pack under ANSI mode — bins
+    clamp to the boundary bin and the join still answers."""
+    import pandas as pd
+    from py3dtiles_spark.operators.knn import knn_join_points
+
+    xyz = pd.DataFrame({
+        "point_id": range(6),
+        "x": [4.2e6, 4.2e6 + 0.5, 4.2e6 + 2.0, -4.2e6, 0.0, 4.2e6 + 0.7],
+        "y": [1.1e6] * 6, "z": [4.7e6] * 6})
+    pts = spark.createDataFrame(xyz)
+    q = (pts.filter("point_id = 0")
+         .selectExpr("point_id AS q_id", "x", "y", "z"))
+    rows = knn_join_points(pts, q, k=3, cell_size=1.0, n_rings=1).collect()
+    assert len(rows) == 3
+    # all the big-coordinate points alias into the boundary bin, so the
+    # true nearest neighbours (0.5 m and 0.7 m away) are still found
+    got = [r.n_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == [0, 1, 5]

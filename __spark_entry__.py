@@ -291,6 +291,61 @@ def q_corpus_curation(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_llm_pipeline(spark, sf_dir):
+    """Composed LLM-pipeline flagship (r5): the separately-verified stages
+    chained as ONE declarative plan, proving they compose without seams —
+    quality gate -> exact dedup (window) -> deterministic geocode ->
+    Z-order layout key (operators/layout.py zorder_key_expr) ->
+    grid-bucketed kNN join over the kept docs (operators/knn.py
+    knn_join_points, provably-complete config) -> payload (lang) joined
+    back once at the end as a broadcast of the tiny result side.
+
+    Shuffle audit (scripts/plan_audit.py `llm_pipeline`): one exchange for
+    the dedup window, the kNN's cell equi-join + two-stage top-k, and
+    nothing else — the zorder key is pure expressions, the geocode re-
+    derivation avoids a join, and the lang join broadcasts the 36-row
+    result side, so no stage adds a shuffle at a seam."""
+    from py3dtiles_spark.operators.knn import knn_join_points
+    from py3dtiles_spark.operators.layout import zorder_key_expr
+    g = _geo(spark, sf_dir)
+    ntok = F.size(F.split("text", " ")).cast("long")
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?'\"()-]", ""))
+    gated = (g.select("doc_id", "lang", "text", "x", "y", "z",
+                      ntok.alias("ntok"),
+                      (punct / F.greatest(F.length("text"), F.lit(1)))
+                      .alias("punct_ratio"))
+             .filter((F.length("text") >= 80) & (F.col("ntok") >= 10)
+                     & (F.col("punct_ratio") <= 0.2)))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (gated.withColumn("_rk", F.row_number().over(w))
+            .filter("_rk = 1").drop("_rk"))
+    if os.environ.get("SPARK_GRAFT_PLAN_AUDIT") != "1":
+        # three consumers (points / queries / payload): compute the
+        # gate+dedup once — the production shape for a reused curated set.
+        # Audit mode keeps raw lineage so the seam shuffles stay visible.
+        kept = kept.persist()
+    pts = kept.select(F.col("doc_id").alias("point_id"), "x", "y", "z")
+    q = (kept.filter("doc_id < 12")
+         .select(F.col("doc_id").alias("q_id"), "x", "y", "z"))
+    nn = knn_join_points(pts, q, k=3, cell_size=400.0, n_rings=1)
+    # q's Z-order bucket re-derived from q_id (geocode is deterministic):
+    # pure expressions instead of a join back to kept
+    i = F.col("q_id")
+    qx = F.lit(-180.0) + (F.pmod(i * 2654435761, F.lit(U32)) / F.lit(U32)) * 360.0
+    qy = F.lit(-85.0) + (F.pmod(i * 2246822519, F.lit(U32)) / F.lit(U32)) * 170.0
+    nn = (nn.withColumn("x", qx).withColumn("y", qy)
+          .withColumn("q_zbucket", F.shiftright(
+              zorder_key_expr(["x", "y"], [(-180.0, 180.0), (-90.0, 90.0)],
+                              bits=8), 8))
+          .drop("x", "y"))
+    lang = kept.select(F.col("doc_id").alias("n_id"),
+                       F.col("lang").alias("n_lang"))
+    return (lang.join(F.broadcast(nn), "n_id")
+            .select("q_id", "rank", "n_id", "q_zbucket", "n_lang",
+                    F.col("complete").cast("long").alias("complete"))
+            .orderBy("q_id", "rank"))
+
+
 def q_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min md5 over 8-token rolling shingles."""
     from py3dtiles_spark.functions.text import fingerprint
@@ -1021,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_metrics": q_quality_metrics,
         "corpus_curation": q_corpus_curation,
+        "llm_pipeline": q_llm_pipeline,
         "tfidf_terms": q_tfidf_terms,
         "repetition_stats": q_repetition_stats,
         "fingerprint": q_fingerprint,
@@ -1213,6 +1269,42 @@ def oracle_sql() -> dict[str, str]:
                    sum(ntok)::BIGINT AS token_budget,
                    min(doc_id) AS first_doc
             FROM kept GROUP BY lang ORDER BY lang""",
+        "llm_pipeline": f"""{geo},
+            g2 AS (SELECT doc_id, lang, text, x, y, z,
+                          len(string_split(text, ' '))::BIGINT AS ntok,
+                          length(regexp_replace(text, '[^.,;:!?''"()-]',
+                                 '', 'g'))::DOUBLE
+                              / greatest(length(text), 1) AS punct_ratio
+                   FROM geo WHERE length(text) >= 80),
+            gated AS (SELECT * FROM g2
+                      WHERE ntok >= 10 AND punct_ratio <= 0.2),
+            kept AS (SELECT * FROM (
+                        SELECT *, row_number() OVER (PARTITION BY text
+                                            ORDER BY doc_id) AS rk
+                        FROM gated) WHERE rk = 1),
+            qs AS (SELECT doc_id AS q_id, x, y, z,
+                          least(greatest(CAST(floor((x - (-180.0)) / 360.0
+                              * 256) AS BIGINT), 0), 255) AS qx,
+                          least(greatest(CAST(floor((y - (-90.0)) / 180.0
+                              * 256) AS BIGINT), 0), 255) AS qy
+                   FROM kept WHERE doc_id < 12),
+            qz AS (SELECT q_id, (({" | ".join(
+                        f"(((qx >> {b}) & 1) << {2 * b}) | "
+                        f"(((qy >> {b}) & 1) << {2 * b + 1})"
+                        for b in range(8))}) >> 8) AS q_zbucket FROM qs),
+            pairs AS (SELECT q.q_id, k2.doc_id AS n_id, k2.lang AS n_lang,
+                             sqrt((q.x - k2.x) * (q.x - k2.x)
+                                + (q.y - k2.y) * (q.y - k2.y)
+                                + (q.z - k2.z) * (q.z - k2.z)) AS dist
+                      FROM qs q, kept k2),
+            ranked AS (SELECT q_id, n_id, n_lang,
+                              row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist, n_id) AS rank
+                       FROM pairs)
+            SELECT r.q_id, r.rank::BIGINT AS rank, r.n_id, z.q_zbucket,
+                   r.n_lang, 1::BIGINT AS complete
+            FROM ranked r JOIN qz z ON r.q_id = z.q_id
+            WHERE r.rank <= 3 ORDER BY r.q_id, r.rank""",
         "fingerprint": """
             SELECT doc_id,
                    list_aggregate(

@@ -79,9 +79,33 @@ CHECKS = {
          r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
     ],
     "salted_join": [
-        ("join runs on (key, salt), never a broadcast of the big side",
-         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
-        ("salt column present in the join key", r"_salt"),
+        # audited with autoBroadcastJoinThreshold=-1 (CONF_OVERRIDES): the
+        # gate dim is broadcast-sized, which would short-circuit the very
+        # shuffle shape under audit (ADVICE r4) — at the operator's target
+        # scale the small side is past broadcast range by definition
+        ("salted shuffle join (broadcast disabled for the audit)",
+         r"SortMergeJoin|ShuffledHashJoin"),
+        ("no broadcast of either side", "!BroadcastHashJoin"),
+        ("both sides exchange on the salted key",
+         r"Exchange hashpartitioning\([^\n]*_salt"),
+    ],
+    "llm_pipeline": [
+        ("composed pipeline never degrades to a cross product",
+         "!CartesianProduct"),
+        ("gate/dedup/zorder/kNN stages are all JVM-native, zero Python",
+         "!FlatMap|ArrowEval|BatchEval"),
+        ("kNN keeps the two-stage top-k through the composition",
+         r"_pid[\s\S]*Window[\s\S]*Window"),
+        ("payload joins back as a broadcast (no extra shuffle at the "
+         "seam)", r"BroadcastHashJoin"),
+        # seam budget over the RAW lineage (audit mode disables the
+        # production persist of `kept`): 3 dedup-window subplans (full
+        # kept twice — one ReusedExchange at execution — plus the
+        # filter-pushed query branch), the kNN's two top-k exchanges, and
+        # partial-agg pairs. A regression that adds a shuffle at a stage
+        # seam trips the counter.
+        ("no extra shuffles at the seams (exchange budget)",
+         "#Exchange hashpartitioning<=10"),
     ],
     "zorder_key": [
         ("morton key is pure native exprs, zero Python",
@@ -111,6 +135,13 @@ CHECKS = {
 }
 
 
+# per-query session-conf overrides applied around collect+plan capture
+CONF_OVERRIDES = {
+    "salted_join": {"spark.sql.autoBroadcastJoinThreshold": "-1",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"},
+}
+
+
 def main():
     # queries that materialize intermediates (persist/localCheckpoint)
     # return a checkpoint-scan plan; this switch makes them hand back the
@@ -122,9 +153,18 @@ def main():
              "scripts/plan_audit.py)", ""]
     failures = 0
     for name, checks in CHECKS.items():
+        overrides = CONF_OVERRIDES.get(name, {})
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
         df = qs[name](spark, SF)
         df.collect()   # executes THIS df's QueryExecution -> AQE final plan
         plan = df._jdf.queryExecution().executedPlan().toString()
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
         lines.append(f"## {name}")
         for label, pat in checks:
             if pat.startswith("!"):
@@ -132,6 +172,11 @@ def main():
                 # appear anywhere in the plan (a negative lookahead on a
                 # multi-line plan silently matched only line 1)
                 ok = not any(tok in plan for tok in pat[1:].split("|"))
+            elif pat.startswith("#"):
+                # budget check: "#substr<=N" -> occurrence count of substr
+                # must not exceed N
+                token, bound = pat[1:].rsplit("<=", 1)
+                ok = plan.count(token) <= int(bound)
             else:
                 ok = re.search(pat, plan) is not None
             mark = "PASS" if ok else "FAIL"

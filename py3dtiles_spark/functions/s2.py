@@ -117,6 +117,62 @@ def s2_quad_id_expr(level: int, lon_col: str = "x",
     return F.shiftleft(face, 2 * level).bitwiseOR(morton).alias("s2_quad")
 
 
+def with_s2_quad(df, level: int, lon_col: str = "x", lat_col: str = "y",
+                 out_col: str = "s2_quad"):
+    """`out_col` = the level-`level` quad id, built as STAGED projections
+    (face/u/v -> st -> ij -> morton) instead of one composed expression.
+
+    Why this exists next to s2_quad_id_expr: composing everything into a
+    single Column duplicates subtrees combinatorially — morton references
+    i/j 2x per level, ij references st 2x (clamp), st references u 3x
+    (sign branch), and every u branch embeds the xyz trig — ~70 copies of
+    the trig tree at level 6, a huge codegen unit (measured 5.6x slower
+    than geohash on identical input at sf0.1). Separate Projects keep
+    each subexpression computed ONCE; Catalyst's CollapseProject will not
+    re-inline them because the producers are non-cheap and multiply
+    referenced. Same result, same zero-Python plan, ~5x less expression
+    tree."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    tmp = ["_s2x", "_s2y", "_s2z", "_s2f", "_s2u", "_s2v", "_s2i", "_s2j"]
+    # stage the trig once: face/u/v reference the xyz columns ~15x total
+    xe, ye, ze = _lonlat_to_xyz(F.col(lon_col).cast("double"),
+                                F.col(lat_col).cast("double"))
+    df = df.withColumns({"_s2x": xe, "_s2y": ye, "_s2z": ze})
+    x, y, z = F.col("_s2x"), F.col("_s2y"), F.col("_s2z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    axis = (F.when((ax > ay) & (ax > az), F.lit(0))
+            .when(ay > az, F.lit(1)).otherwise(F.lit(2)))
+    comp = F.when(axis == 0, x).when(axis == 1, y).otherwise(z)
+    face = (axis + F.when(comp < 0, F.lit(3)).otherwise(F.lit(0))) \
+        .cast("long")
+    u = (F.when(face == 0, y / x).when(face == 1, -x / y)
+         .when(face == 2, -x / z).when(face == 3, z / x)
+         .when(face == 4, z / y).otherwise(-y / z))
+    v = (F.when(face == 0, z / x).when(face == 1, z / y)
+         .when(face == 2, -y / z).when(face == 3, y / x)
+         .when(face == 4, -x / y).otherwise(-x / z))
+    df = df.withColumns({"_s2f": face, "_s2u": u, "_s2v": v})
+    lim = 1 << level
+
+    def ij(st: Column) -> Column:
+        raw = F.floor(st * F.lit(float(lim))).cast("long")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(lim - 1))
+
+    df = df.withColumns({"_s2i": ij(_uv_to_st(F.col("_s2u"))),
+                         "_s2j": ij(_uv_to_st(F.col("_s2v")))})
+    i, j = F.col("_s2i"), F.col("_s2j")
+    morton = F.lit(0).cast("long")
+    for k in range(level):
+        morton = (morton
+                  .bitwiseOR(F.shiftleft(F.shiftright(i, k).bitwiseAND(F.lit(1)),
+                                         2 * k + 1))
+                  .bitwiseOR(F.shiftleft(F.shiftright(j, k).bitwiseAND(F.lit(1)),
+                                         2 * k)))
+    out = F.shiftleft(F.col("_s2f"), 2 * level).bitwiseOR(morton)
+    return df.withColumn(out_col, out).drop(*tmp)
+
+
 def s2_quad_id_sql(level: int, lon_sql: str, lat_sql: str) -> str:
     """The DuckDB/ANSI twin of s2_quad_id_expr, as a SQL scalar expression
     string over lon/lat SQL sub-expressions — used by oracle_sql()."""

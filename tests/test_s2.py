@@ -133,3 +133,22 @@ def test_quad_id_level_guard():
     with pytest.raises(ValueError):
         s2_quad_id_sql(31, "x", "y")
     s2_quad_id_expr(30)       # max level is fine (face bits at 60..62)
+
+
+def test_with_s2_quad_matches_composed_expr(spark):
+    """The staged-projection builder must produce bit-identical quad ids
+    to the single-expression variant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from py3dtiles_spark.functions.s2 import s2_quad_id_expr, with_s2_quad
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"x": rng.uniform(-180, 180, 2000),
+                        "y": rng.uniform(-90, 90, 2000)})
+    df = spark.createDataFrame(pdf)
+    for level in (0, 3, 6, 12):
+        n_diff = (with_s2_quad(df, level)
+                  .withColumn("ref", s2_quad_id_expr(level))
+                  .filter(F.col("s2_quad") != F.col("ref")).count())
+        assert n_diff == 0, level

@@ -690,6 +690,14 @@ def _read_pending(spark, out_dir: str) -> DataFrame:
     let alone scanned; a level where everything finalized has no such dir
     (empty frame; the loop's next count pass then completes). Legacy flat
     layout (resuming a pre-r4 checkpoint): full read + filter."""
+    if not os.path.isdir(out_dir):
+        # a fully-accepted level HAS an out dir (with only accepted=true);
+        # a missing dir means the checkpoint was never written — resuming
+        # with a wrong start_level must fail loudly, not return an empty
+        # pending that silently completes the build (ADVICE r4)
+        raise FileNotFoundError(
+            f"level checkpoint {out_dir} does not exist — wrong "
+            "start_level / checkpoint_dir?")
     if _is_legacy_level_dir(out_dir):
         return (spark.read.schema(KERNEL_SCHEMA).parquet(out_dir)
                 .filter("NOT accepted").drop("accepted"))

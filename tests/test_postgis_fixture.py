@@ -17,6 +17,8 @@ source is exercised two ways:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -109,3 +111,32 @@ def test_recorded_fixture_weights_match_original_area(spark, recorded):
     assert len(rows) == 25
     for r in rows:
         assert r.weight > 0          # nonzero xy footprint pre-rotation
+
+
+PG_URL = os.environ.get("SPARK_GRAFT_PG_URL")       # jdbc:postgresql://...
+PG_TABLE = os.environ.get("SPARK_GRAFT_PG_TABLE")
+PG_GEOM = os.environ.get("SPARK_GRAFT_PG_GEOM", "geom")
+PG_ID = os.environ.get("SPARK_GRAFT_PG_ID", "id")
+
+
+@pytest.mark.skipif(
+    not (PG_URL and PG_TABLE),
+    reason="no live PostGIS in this sandbox: set SPARK_GRAFT_PG_URL and "
+           "SPARK_GRAFT_PG_TABLE (plus the postgresql JDBC jar on the "
+           "classpath) to run the S6 integration end-to-end")
+def test_postgis_features_live(spark):
+    """S6 live integration (skipped in-sandbox, runnable anywhere a real
+    database exists): postgis_features must return the recorded-fixture
+    contract schema and non-empty WKB that the export chain can parse."""
+    from py3dtiles_spark.functions.wkb import parse_wkb_multipolygon
+    from py3dtiles_spark.sources.postgis import postgis_features
+
+    df = postgis_features(spark, PG_URL, PG_TABLE, PG_GEOM, PG_ID,
+                          num_partitions=4)
+    assert [f.name for f in df.schema.fields] == ["geom_id", "wkb",
+                                                  "weight"]
+    rows = df.limit(5).collect()
+    assert rows, "live table returned no geometries"
+    for r in rows:
+        assert r.wkb and len(r.wkb) >= 9
+        assert parse_wkb_multipolygon(bytes(r.wkb))  # server WKB parses

@@ -139,3 +139,25 @@ def test_distributed_routing_over_cap(spark, tmp_path):
                            f"{list(mismatches.items())[:5]}"
     assert res.counters["points_assigned"] == len(ids)
     cleanup_checkpoint(res)
+
+
+def test_resume_missing_level_raises(spark, tmp_path):
+    """ADVICE r4: resuming from a checkpoint whose claimed level dir was
+    never written must raise, not silently complete with empty pending."""
+    import json
+
+    ckpt = tmp_path / "bad_resume"
+    ckpt.mkdir()
+    (ckpt / "meta.json").write_text(json.dumps(
+        {"root_aabb": [[0, 0, 0], [1, 1, 1]], "root_spacing": 0.25,
+         "scale": 1.0}))
+    lv = ckpt / "level=0"
+    lv.mkdir()
+    (lv / "_MANIFEST.json").write_text(json.dumps(
+        {"level": 0, "points_in": 10, "nodes": 1, "modes": {"cell": 1}}))
+    # manifest says level 0 completed, but level=0/out was never written
+    ids, xyz = ripple_cloud(100)
+    df = _points_df(spark, ids, xyz)
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        build_tiling(spark, df,
+                     TilingConfig(checkpoint_dir=str(ckpt)), resume=True)

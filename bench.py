@@ -29,6 +29,10 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # r5: THP+pretouch is the benchmarked default (BENCH.md r4 probes:
+    # +25% on JVM-native stages, identical results) — must be set before
+    # the JVM launches; export SPARK_GRAFT_PRETOUCH=0 to compare without
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     import numpy as np
     from pyspark.sql import functions as F
 

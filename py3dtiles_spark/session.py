@@ -27,7 +27,13 @@ def get_spark(app_name: str = "py3dtiles-spark", cpus: int | None = None,
     # amortizes across jobs.
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
     if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
-        java_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch " + java_opts
+        # r5: THP rides with pretouch — madvise'd huge pages cut the
+        # pretouch cost 512x per page and gave +25% on JVM-native stages
+        # (BENCH.md r4 probe 3); bench.py/scaling_bench set PRETOUCH=1 so
+        # published numbers use this default. Kept opt-in for tests (a
+        # fresh session per fixture would pay the full heap fault walk).
+        java_opts = (f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
+                     "-XX:+UseTransparentHugePages " + java_opts)
     # NOTE: malloc tuning for numpy kernels lives in py3dtiles_spark/
     # __init__.py (runtime mallopt, Python-process-only). Do NOT set the
     # MALLOC_* env vars here: the JVM would inherit them, and with

@@ -66,8 +66,12 @@ def run_once(cpus: int, n_docs: int) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(script)
         path = f.name
+    env = dict(os.environ)
+    # r5 benchmarked default: THP+pretouch (see session.get_spark)
+    env.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     out = subprocess.run([sys.executable, path, str(cpus), str(n_docs)],
-                         capture_output=True, text=True, timeout=1800)
+                         capture_output=True, text=True, timeout=1800,
+                         env=env)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 

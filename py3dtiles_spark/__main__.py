@@ -50,6 +50,10 @@ def main(argv=None) -> int:
     c.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     c.add_argument("--write-pnts", action="store_true")
+    c.add_argument("--graph", action="store_true",
+                   help="write activity.svg/activity.json worker-"
+                        "utilization artifacts (reference --graph, "
+                        "convert.py:722-759) from the Spark event log")
 
     m = sub.add_parser("merge", help="federate tilesets")
     m.add_argument("--input", required=True,
@@ -106,6 +110,11 @@ def main(argv=None) -> int:
         return 0
 
     from py3dtiles_spark.session import get_spark
+    graph_log_dir = None
+    if getattr(args, "graph", False):
+        import tempfile
+        graph_log_dir = tempfile.mkdtemp(prefix="spark_evlog_")
+        os.environ["SPARK_GRAFT_EVENT_LOG_DIR"] = graph_log_dir
     spark = get_spark("py3dtiles-spark-cli", cpus=args.cpus)
 
     if args.cmd == "export":
@@ -206,6 +215,7 @@ def main(argv=None) -> int:
             print(f"{args.benchmark},{names},"
                   f"{res.counters.get('points_assigned')},"
                   f"{round(_time.time() - t_start, 1)}")
+        _emit_graph(spark, graph_log_dir, args.output)
         return 0
 
     if args.n_docs:
@@ -240,7 +250,22 @@ def main(argv=None) -> int:
                       "levels": len(res.counters["levels"]),
                       "tiles": tiles.count(),
                       "tileset_docs": list(docs)}))
+    _emit_graph(spark, graph_log_dir, args.output)
     return 0
+
+
+def _emit_graph(spark, log_dir, out_dir):
+    """--graph: flush the event log (stop) and write the utilization
+    artifacts next to the tileset (reference activity.svg analogue)."""
+    if not log_dir:
+        return
+    cores = spark.sparkContext.defaultParallelism
+    spark.stop()
+    from py3dtiles_spark.plans.activity import write_activity_artifacts
+    rep = write_activity_artifacts(log_dir, out_dir, cores=cores)
+    print(json.dumps({"activity": {
+        "utilization": rep["utilization"], "tasks": rep["tasks"],
+        "svg": os.path.join(out_dir, "activity.svg")}}))
 
 
 if __name__ == "__main__":

@@ -39,9 +39,23 @@ def get_spark(app_name: str = "py3dtiles-spark", cpus: int | None = None,
     # MALLOC_* env vars here: the JVM would inherit them, and with
     # MMAP_MAX_=0 glibc cannot create per-thread arenas — 32 executor
     # threads then serialize on one malloc lock (measured 3x slowdown).
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        .appName(app_name))
+    # SPARK_GRAFT_EVENT_LOG_DIR: record the event log for worker-
+    # utilization introspection (plans/activity.py, the reference's
+    # --graph analogue). Off by default — logging every event has a cost.
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENT_LOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        # plain single-file JSON (no zstd, no rolling) so the post-run
+        # parser reads it with stdlib only
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", ev_dir)
+                   .config("spark.eventLog.compress", "false")
+                   .config("spark.eventLog.rolling.enabled", "false"))
+    return (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -8,9 +8,12 @@ build is a level-synchronous iteration (SURVEY.md §3.1 "Spark shape").
 Per level, exactly TWO jobs:
 
   1. routing: groupBy(tile_id).agg(count, bbox) — one row per live node,
-     kept DISTRIBUTED (r5): a DataFrame plan (native when() + an Arrow
-     kernel over only the big-node rows) assigns each node a mode; the
-     driver sees just the <=4-row per-mode histogram. Modes:
+     fetched through a BOUNDED limit probe (r5): levels under
+     node_broadcast_rows route driver-side over O(cap) rows (pure-JVM
+     probe job, LocalRelation broadcast — the fast common case); over-cap
+     levels run the SAME rule as a distributed DataFrame plan
+     (_node_meta_df: native when() + an Arrow kernel for big-node rows)
+     and the driver sees just the <=4-row per-mode histogram. Modes:
        leaf   count < 20000 or spacing floor  -> accept all (node.py:70-73)
        local  count <= in_kernel_threshold    -> one task recurses the WHOLE
               subtree (the reference's depth-limited pipelining,
@@ -36,12 +39,12 @@ Points are carried NARROW through the loop (point_id + xyz float32 only);
 payload columns (url, html, text...) are joined back once at the end — at
 100 TB you never shuffle the html through the tree.
 
-The per-level node list (one row per live node) never leaves the cluster:
-at 10^12 docs a level can hold ~5e7 live nodes, which would make a driver
-collect the reference master's State-dict bottleneck reborn
-(convert.py:217-239). The routing joins back to pending as a broadcast of
-the node-meta DataFrame; only the per-mode histogram (<=4 rows) is
-collected, for loop termination and the manifest.
+Driver traffic is BOUNDED by node_broadcast_rows (~12 MB at the default
+200k): at 10^12 docs a level can hold ~5e7 live nodes, which would make
+an unbounded driver collect the reference master's State-dict bottleneck
+reborn (convert.py:217-239) — those levels stay distributed (shuffled
+node_meta join; only the per-mode histogram is collected for loop
+termination and the manifest).
 
 Counters (points in / nodes / modes / phase seconds per level) land in a
 manifest JSON per level; the written==read invariant of the reference
@@ -269,6 +272,50 @@ def _unified_kernel(cfg: TilingConfig, root_aabb, root_spacing):
         return out
 
     return kernel
+
+
+def _node_meta_rows(counts_rows, cfg: TilingConfig, root_aabb, root_spacing,
+                    local_cutoff: int):
+    """Driver-side routing for a BOUNDED node list (<= node_broadcast_rows,
+    fetched via the limit probe): per live node -> mode + grid constants
+    for cell nodes (aabb_min float32, scale = cell_count * inv_aabb_size
+    float64 — the reference kernel's exact promotion). Pure-JVM probe job
+    + O(cap) python beats the distributed plan's extra Arrow-UDF job by
+    ~35% flagship wall at sandbox scale (r5 A/B); _node_meta_df is the
+    SAME rule as a DataFrame plan for over-cap levels. Keep the two in
+    lockstep (the over-cap golden test pins their agreement)."""
+    spacing_floor = MIN_SPACING * cfg.scale
+    rows = []
+    for r in counts_rows:
+        tid, cnt = r["tile_id"], r["cnt"]
+        spacing = root_spacing * (0.5 ** len(tid))
+        if cnt < cfg.split_threshold or spacing <= spacing_floor:
+            rows.append((tid, "leaf", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+            continue
+        if cnt > cfg.in_kernel_threshold:
+            # clustered-node check: a node whose whole bbox maps into ONE
+            # child octant (megacity cluster) runs 'express' — accept AND
+            # descend in-task, one shuffle round for the entire hot chain
+            frame = node_frame(tid, root_aabb, root_spacing)
+            corners = np.array([[r["bx0"], r["by0"], r["bz0"]],
+                                [r["bx1"], r["by1"], r["bz1"]]],
+                               dtype=np.float32)
+            cd = child_index_for_node(corners, frame)
+            if cd[0] == cd[1]:
+                rows.append((tid, "express", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+                continue
+        if cnt <= local_cutoff:
+            rows.append((tid, "local", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        else:
+            frame = node_frame(tid, root_aabb, root_spacing)
+            inv = np.float32(1.0) / frame.size          # f32 (node.py:30)
+            scale = (np.array([cfg.cell_count] * 3, dtype=np.int32)
+                     * inv)                             # int32*f32 -> f64
+            rows.append((tid, "cell",
+                         float(frame.aabb[0][0]), float(frame.aabb[0][1]),
+                         float(frame.aabb[0][2]),
+                         float(scale[0]), float(scale[1]), float(scale[2])))
+    return rows
 
 
 def _node_geom_udf(cfg: TilingConfig, root_aabb, root_spacing):
@@ -517,6 +564,14 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     _coalesce_prev = spark.conf.get(_coalesce_key, "true")
     spark.conf.set(_coalesce_key, "false")
+    # the bounded routing probe is a CollectLimit; by default Spark runs
+    # it incrementally (1 partition, then scaleUpFactor more, ...) which
+    # turns one routing job into several sequential mini-rounds per
+    # level. The probe wants ALL partitions in one pass — the result is
+    # node-count sized either way.
+    _limit_key = "spark.sql.limit.initialNumPartitions"
+    _limit_prev = spark.conf.get(_limit_key, None)
+    spark.conf.set(_limit_key, "100000")
 
     for level in range(start_level, cfg.max_levels):
         lv_dir = os.path.join(ckpt, f"level={level}")
@@ -531,28 +586,36 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                        F.min("z").alias("bz0"),
                        F.max("x").alias("bx1"), F.max("y").alias("by1"),
                        F.max("z").alias("bz1")))
-        cutoff = _local_cutoff(
-            cfg, est_total,
-            cfg.plan_parallelism or spark.sparkContext.defaultParallelism)
-        node_meta_full = _node_meta_df(counts, cfg, root_aabb, root_spacing,
-                                       cutoff)
+        parallelism = (cfg.plan_parallelism
+                       or spark.sparkContext.defaultParallelism)
         # BOUNDED probe: a level with <= node_broadcast_rows live nodes
-        # (every sandbox level; most real levels) comes back whole in the
-        # ONE routing job — histogram driver-side, node list re-shipped as
-        # a LocalRelation broadcast (no broadcast-exchange job). Over-cap
-        # levels never reach the driver: histogram via a tiny cached agg,
-        # node_meta stays distributed and joins by shuffle.
+        # (every sandbox level; most real levels) comes back whole from
+        # the ONE pure-JVM routing job — modes computed driver-side over
+        # the O(cap) rows (exact level_total, r4-identical plans), node
+        # list re-shipped as a LocalRelation broadcast (no broadcast-
+        # exchange job, no Arrow stage). Over-cap levels never reach the
+        # driver: _node_meta_df runs the SAME rule as a distributed plan,
+        # only the per-mode histogram is collected, and node_meta joins
+        # to pending by shuffle (a GB-sized node list has no business
+        # being broadcast anyway).
         cap = int(cfg.node_broadcast_rows)
-        node_meta_full = node_meta_full.persist()
-        probe = node_meta_full.limit(cap + 1).collect()
+        node_meta_full = None
+        probe = counts.limit(cap + 1).collect()
         broadcast_path = len(probe) <= cap
         if broadcast_path:
-            node_meta_full.unpersist()
-            modes, n_nodes, n_in = {}, len(probe), 0
-            for r in probe:
-                modes[r["mode"]] = modes.get(r["mode"], 0) + 1
-                n_in += r["cnt"]
+            n_in = int(sum(r["cnt"] for r in probe))
+            cutoff = _local_cutoff(cfg, n_in if n_in else None, parallelism)
+            meta_rows = (_node_meta_rows(probe, cfg, root_aabb,
+                                         root_spacing, cutoff)
+                         if n_in else [])
+            modes = {}
+            for _, mode, *_ in meta_rows:
+                modes[mode] = modes.get(mode, 0) + 1
+            n_nodes = len(meta_rows)
         else:
+            cutoff = _local_cutoff(cfg, est_total, parallelism)
+            node_meta_full = _node_meta_df(counts, cfg, root_aabb,
+                                           root_spacing, cutoff).persist()
             stats_rows = (node_meta_full.groupBy("mode")
                           .agg(F.count("*").alias("nodes"),
                                F.sum("cnt").alias("pts")).collect())
@@ -561,7 +624,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             n_in = int(sum(r["pts"] for r in stats_rows))
         t_counts = time.time() - t0
         if n_in == 0:
-            if not broadcast_path:
+            if node_meta_full is not None:
                 node_meta_full.unpersist()
             complete = True
             break
@@ -569,10 +632,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
 
         t0 = time.time()
         if broadcast_path:
-            node_meta = spark.createDataFrame(
-                [(r["tile_id"], r["mode"], r["mnx"], r["mny"], r["mnz"],
-                  r["sx"], r["sy"], r["sz"]) for r in probe],
-                _NODE_META_SCHEMA)
+            node_meta = spark.createDataFrame(meta_rows, _NODE_META_SCHEMA)
             tagged = pending.join(F.broadcast(node_meta), "tile_id")
         else:
             tagged = pending.join(node_meta_full.drop("cnt"), "tile_id")
@@ -602,7 +662,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             (out_df.write.mode("overwrite").partitionBy("accepted")
              .parquet(os.path.join(lv_dir, "out")))
         t_kernel = time.time() - t0
-        if not broadcast_path:
+        if node_meta_full is not None:
             node_meta_full.unpersist()
 
         lv_stats = {"level": level, "points_in": n_in,
@@ -624,6 +684,10 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             pending = _read_pending(spark, os.path.join(lv_dir, "out"))
 
     spark.conf.set(_coalesce_key, _coalesce_prev)
+    if _limit_prev is None:
+        spark.conf.unset(_limit_key)
+    else:
+        spark.conf.set(_limit_key, _limit_prev)
     if input_cached is not None:
         input_cached.unpersist()
     if memory_mode:

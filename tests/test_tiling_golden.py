@@ -161,3 +161,54 @@ def test_resume_missing_level_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="does not exist"):
         build_tiling(spark, df,
                      TilingConfig(checkpoint_dir=str(ckpt)), resume=True)
+
+
+def test_node_meta_df_matches_driver_rules(spark):
+    """The distributed routing plan (_node_meta_df) and the driver-side
+    rules (_node_meta_rows) must agree node-for-node — mode AND cell grid
+    constants — on a randomized node population covering all four modes."""
+    import numpy as np
+    import pandas as pd
+    from py3dtiles_spark.operators.tiling import (
+        TilingConfig, _local_cutoff, _node_meta_df, _node_meta_rows)
+
+    rng = np.random.default_rng(13)
+    root_aabb = np.array([[0.0, 0.0, 0.0], [64.0, 64.0, 32.0]])
+    root_spacing = 0.25
+    cfg = TilingConfig(split_threshold=2000, in_kernel_threshold=6000,
+                       local_hard_cap=50_000)
+    rows = []
+    for i in range(120):
+        depth = int(rng.integers(0, 6))
+        tid = "".join(str(d) for d in rng.integers(0, 8, depth))
+        cnt = int(rng.choice([50, 1999, 2000, 5999, 6001, 30_000,
+                              60_000, 400_000]))
+        # half the big nodes get a tight bbox (single-child -> express)
+        lo = rng.uniform(0, 60, 3)
+        hi = lo + (rng.uniform(0.01, 0.2, 3) if rng.random() < 0.5
+                   else rng.uniform(20, 40, 3))
+        rows.append((tid, cnt, *lo.astype(np.float32),
+                     *np.minimum(hi, 64).astype(np.float32)))
+    pdf = pd.DataFrame(rows, columns=["tile_id", "cnt", "bx0", "by0",
+                                      "bz0", "bx1", "by1", "bz1"])
+    pdf = pdf.drop_duplicates("tile_id")
+    total = int(pdf["cnt"].sum())
+    cutoff = _local_cutoff(cfg, total, 8)
+
+    counts = spark.createDataFrame(pdf)
+    got = {r["tile_id"]: r for r in _node_meta_df(
+        counts, cfg, root_aabb, root_spacing, cutoff).collect()}
+    exp_rows = _node_meta_rows(
+        [r._asdict() if hasattr(r, "_asdict") else dict(r)
+         for r in pdf.to_dict("records")],
+        cfg, root_aabb, root_spacing, cutoff)
+    assert len(got) == len(exp_rows)
+    modes_seen = set()
+    for tid, mode, mnx, mny, mnz, sx, sy, sz in exp_rows:
+        g = got[tid]
+        assert g["mode"] == mode, (tid, g["mode"], mode)
+        modes_seen.add(mode)
+        if mode == "cell":
+            assert (g["mnx"], g["mny"], g["mnz"]) == (mnx, mny, mnz), tid
+            assert (g["sx"], g["sy"], g["sz"]) == (sx, sy, sz), tid
+    assert {"leaf", "local", "cell", "express"} <= modes_seen

@@ -192,6 +192,45 @@ def main():
         lines.append("```")
         lines.append("")
     spark.stop()
+
+    # flagship driver-traffic audit (VERDICT r4 #3): every .collect() in
+    # the level loop must be provably bounded — the scalar root-aabb agg,
+    # the limit(cap+1) routing probe, or the <=4-row per-mode histogram.
+    # An unbounded pending/counts collect reintroduces the reference
+    # master bottleneck and fails this audit.
+    import ast
+    import textwrap
+    src_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "py3dtiles_spark", "operators",
+        "tiling.py")
+    with open(src_path) as f:
+        src = f.read()
+    lines.append("## flagship_tiling — bounded driver traffic")
+    allowed = 0
+    unbounded = []
+    for node in ast.walk(ast.parse(src)):
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"):
+            stmt = textwrap.dedent(
+                "\n".join(src.splitlines()[node.lineno - 3:node.end_lineno]))
+            ok = (".limit(cap + 1)" in stmt        # bounded routing probe
+                  # scalar agg (no grouping -> 1 row)
+                  or (".agg(" in stmt and ".groupBy" not in stmt)
+                  # per-mode histogram (<=4 rows)
+                  or '.groupBy("mode")' in stmt)
+            (allowed := allowed + 1) if ok else unbounded.append(
+                (node.lineno, stmt.splitlines()[-1].strip()))
+    mark = "PASS" if not unbounded else "FAIL"
+    if unbounded:
+        failures += len(unbounded)
+    lines.append(f"- [{mark}] every collect() is a bounded probe or a "
+                 f"scalar/histogram agg ({allowed} allowed, "
+                 f"{len(unbounded)} unbounded: {unbounded})")
+    print(f"{mark} flagship_tiling: bounded driver traffic "
+          f"({allowed} collects audited)")
+    lines.append("")
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

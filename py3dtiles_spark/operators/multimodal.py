@@ -4,11 +4,14 @@ Media ride as opaque `binary` columns with typed metadata structs; the
 Spark-side plumbing — schemas, Arrow batch shapes, partition-friendly
 grouped processing — is real and tested. `probe_media` is REAL (container
 header parsing — PNG/JPEG/GIF/BMP dimensions, WAV audio params — pure
-byte slicing, no codec library). Only the pixel/sample DECODE step is
-stubbed (this container has no image/audio codecs): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic fake
-decoder produces stable pseudo-pixels from the bytes so downstream feature
-extraction is exercisable end-to-end.
+byte slicing, no codec library), and the AUDIO decode is REAL too
+(decode_wav: stdlib wave + numpy PCM -> samples; audio_features computes
+duration/RMS/peak/zero-crossing curation signals on actual samples).
+Only the IMAGE pixel decode is stubbed (no PIL/opencv in this
+container): `decode_image` raises NotImplementedError unless `fake=True`,
+in which case a deterministic fake decoder produces stable pseudo-pixels
+from the bytes so downstream feature extraction is exercisable
+end-to-end.
 """
 
 from __future__ import annotations
@@ -184,3 +187,65 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.sequence(F.lit(0), F.col("duration_ms") - 1,
                            F.lit(every_ms))))
             .select("media_id", "frame_ts_ms", "payload"))
+
+
+# ------------------------------------------------------------- audio (REAL) --
+# WAV/PCM is the one media codec decodable with the stdlib alone (`wave`
+# + numpy frombuffer) — so unlike the image path, the audio decode is
+# REAL, not a stub: bytes in, samples out, features computed on actual
+# PCM. 8/16/32-bit integer PCM, any channel count.
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (float64 samples in [-1, 1], shape (n, channels),
+    sample_rate). Raises ValueError for non-PCM/compressed WAV."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                  w.getframerate(), w.getnframes())
+        raw = w.readframes(nframes)
+    if sw == 1:                         # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return x.reshape(-1, nch), rate
+
+
+def audio_features(media: DataFrame, frame_ms: int = 0) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads (Arrow-batched
+    mapInPandas, one output row per clip): duration, RMS level, peak,
+    zero-crossing rate — the standard cheap curation signals (silence /
+    clipping / noise gates for a speech corpus). Undecodable payloads are
+    dropped with decode_ok=false rows retained for lineage."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x, rate = decode_wav(bytes(payload))
+                    mono = x.mean(axis=1)
+                    n = len(mono)
+                    zc = (np.count_nonzero(np.diff(np.signbit(mono)))
+                          / max(n - 1, 1))
+                    rows.append((int(mid), True, n / rate,
+                                 float(np.sqrt(np.mean(mono * mono))),
+                                 float(np.max(np.abs(mono))), float(zc),
+                                 int(rate), x.shape[1]))
+                except Exception:
+                    rows.append((int(mid), False, 0.0, 0.0, 0.0, 0.0, 0, 0))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "decode_ok", "duration_s", "rms", "peak",
+                "zcr", "sample_rate", "channels"])
+
+    return (media.filter("kind = 'audio'")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema="media_id long, decode_ok boolean, "
+                                     "duration_s double, rms double, "
+                                     "peak double, zcr double, "
+                                     "sample_rate int, channels int"))

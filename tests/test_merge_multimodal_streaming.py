@@ -297,3 +297,52 @@ def test_dedup_stream_across_batches(spark, tmp_path):
     assert sorted(r.url for r in rows) == ["u/a", "u/b", "u/c"]
     texts = {r.url: r.text for r in rows}
     assert texts["u/a"] == "ta"            # FIRST record kept
+
+
+def test_decode_wav_and_audio_features(spark):
+    """The audio path is REAL (stdlib wave + numpy): synthesize PCM WAVs,
+    decode, and check the Arrow-batched features against numpy directly."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    from py3dtiles_spark.operators.multimodal import (
+        audio_features, decode_wav)
+
+    def make_wav(freq, rate=8000, secs=0.5, sw=2, nch=1, amp=0.5):
+        t = np.arange(int(rate * secs)) / rate
+        x = amp * np.sin(2 * np.pi * freq * t)
+        if sw == 2:
+            data = (x * 32767).astype("<i2")
+        else:
+            data = ((x * 127) + 128).astype(np.uint8)
+        frames = np.repeat(data[:, None], nch, axis=1).tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(rate)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    wav_a = make_wav(440.0)                       # 16-bit mono
+    wav_b = make_wav(100.0, sw=1, nch=2)          # 8-bit stereo
+    x, rate = decode_wav(wav_a)
+    assert rate == 8000 and x.shape == (4000, 1)
+    # sine RMS = amp/sqrt(2)
+    assert abs(float(np.sqrt((x ** 2).mean())) - 0.5 / np.sqrt(2)) < 1e-3
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [0, 1, 2],
+        "kind": ["audio", "audio", "audio"],
+        "payload": [wav_a, wav_b, b"not a wav"]}))
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert rows[0].decode_ok and rows[1].decode_ok
+    assert not rows[2].decode_ok                  # lineage row retained
+    assert abs(rows[0].duration_s - 0.5) < 1e-9
+    assert rows[1].channels == 2 and rows[1].sample_rate == 8000
+    assert abs(rows[0].rms - 0.5 / 2 ** 0.5) < 1e-3
+    assert rows[0].peak <= 0.5 + 1e-6
+    # 440 Hz sine crosses zero ~2*440 times/sec -> zcr ~ 880/8000
+    assert abs(rows[0].zcr - 2 * 440 / 8000) < 0.01

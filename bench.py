@@ -108,7 +108,8 @@ def main() -> None:
                  "pricing_summary", "hourly_events", "tiling_octree",
                  "simhash_neardup", "feature_quadtree", "vector_b3dm",
                  "s2_cells", "raster_cells", "knn_join",
-                 "knn_join_bucketed", "geohash_cells", "tfidf_terms"]:
+                 "knn_join_bucketed", "geohash_cells", "tfidf_terms",
+                 "utm_convert", "llm_pipeline"]:
         n = qs[name](spark, SF_DIR).count()          # warmup, keep rows
         ts = []
         for _ in range(RUNS):

@@ -318,11 +318,16 @@ def q_llm_pipeline(spark, sf_dir):
                      & (F.col("punct_ratio") <= 0.2)))
     w = Window.partitionBy("text").orderBy("doc_id")
     kept = (gated.withColumn("_rk", F.row_number().over(w))
-            .filter("_rk = 1").drop("_rk"))
+            .filter("_rk = 1").drop("_rk")
+            # text's job ends at the dedup window: select it away so the
+            # persisted frame (and the kNN inputs) stay narrow
+            .select("doc_id", "lang", "x", "y", "z"))
     if os.environ.get("SPARK_GRAFT_PLAN_AUDIT") != "1":
         # three consumers (points / queries / payload): compute the
         # gate+dedup once — the production shape for a reused curated set.
-        # Audit mode keeps raw lineage so the seam shuffles stay visible.
+        # Narrow (no text), so the retained cache is a few MB even at
+        # bench scale. Audit mode keeps raw lineage so the seam shuffles
+        # stay visible.
         kept = kept.persist()
     pts = kept.select(F.col("doc_id").alias("point_id"), "x", "y", "z")
     q = (kept.filter("doc_id < 12")

@@ -259,10 +259,12 @@ def _emit_graph(spark, log_dir, out_dir):
     artifacts next to the tileset (reference activity.svg analogue)."""
     if not log_dir:
         return
+    import shutil
     cores = spark.sparkContext.defaultParallelism
     spark.stop()
     from py3dtiles_spark.plans.activity import write_activity_artifacts
     rep = write_activity_artifacts(log_dir, out_dir, cores=cores)
+    shutil.rmtree(log_dir, ignore_errors=True)   # raw event log is large
     print(json.dumps({"activity": {
         "utilization": rep["utilization"], "tasks": rep["tasks"],
         "svg": os.path.join(out_dir, "activity.svg")}}))

@@ -269,10 +269,6 @@ def lcc_inverse_exprs(p: LCCParams, e_col="x", n_col="y"):
 # Snyder eq. 8-9..8-17 implementation, a numerically integrated meridian
 # arc on the central meridian, and forward/inverse roundtrip.
 
-WGS84_N3 = WGS84_F / (2.0 - WGS84_F)       # third flattening n
-WGS84_E = math.sqrt(WGS84_E2)
-
-
 def _tm_alpha(n: float) -> tuple[float, ...]:
     """Forward series coefficients alpha_1..alpha_6 (Karney 2011, eq. 35)."""
     return (
@@ -335,7 +331,6 @@ def tm_forward(p: TMParams, lon_deg, lat_deg):
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     # conformal latitude: tau' = sinh(asinh-form Gauss-Schreiber mapping)
     s = np.sin(lat)
-    tau = np.tan(lat)
     taup = np.sinh(np.arctanh(s) - p.e * np.arctanh(p.e * s))
     xi = np.arctan2(taup, np.cos(lon))
     eta = np.arcsinh(np.sin(lon) / np.hypot(taup, np.cos(lon)))
@@ -343,7 +338,6 @@ def tm_forward(p: TMParams, lon_deg, lat_deg):
     for j, aj in enumerate(p.alpha, start=1):
         xs = xs + aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         es = es + aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-    del tau
     return p.x0 + p.k0 * p.A * es, p.y0 + p.k0 * p.A * xs
 
 

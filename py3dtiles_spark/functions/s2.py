@@ -54,13 +54,12 @@ def _lonlat_to_xyz(lon: Column, lat: Column):
     return cp * F.cos(rl), cp * F.sin(rl), F.sin(rp)
 
 
-def s2_face_uv_exprs(lon_col: str = "x", lat_col: str = "y"):
-    """(face, u, v) native columns. Face selection mirrors s2geometry's
-    LargestAbsComponent tie-breaking (x wins only strictly; then y; then
-    z), and the per-face (u, v) formulas are the published
-    ValidFaceXYZtoUV table."""
-    x, y, z = _lonlat_to_xyz(F.col(lon_col).cast("double"),
-                             F.col(lat_col).cast("double"))
+def _face_uv_from_xyz(x: Column, y: Column, z: Column):
+    """(face, u, v) exprs from unit-sphere xyz Columns. Face selection
+    mirrors s2geometry's LargestAbsComponent tie-breaking (x wins only
+    strictly; then y; then z), and the per-face (u, v) formulas are the
+    published ValidFaceXYZtoUV table. Shared by the one-expression and
+    staged builders so the mapping exists exactly once."""
     ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
     axis = (F.when((ax > ay) & (ax > az), F.lit(0))
             .when(ay > az, F.lit(1)).otherwise(F.lit(2)))
@@ -75,6 +74,31 @@ def s2_face_uv_exprs(lon_col: str = "x", lat_col: str = "y"):
     return face.cast("long"), u, v
 
 
+def _ij_expr(st: Column, level: int) -> Column:
+    """Quantize an ST coordinate to [0, 2^level) with the S2 clamp."""
+    lim = 1 << level
+    raw = F.floor(st * F.lit(float(lim))).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(lim - 1))
+
+
+def _morton_expr(i: Column, j: Column, level: int) -> Column:
+    morton = F.lit(0).cast("long")
+    for k in range(level):
+        morton = (morton
+                  .bitwiseOR(F.shiftleft(F.shiftright(i, k).bitwiseAND(F.lit(1)),
+                                         2 * k + 1))
+                  .bitwiseOR(F.shiftleft(F.shiftright(j, k).bitwiseAND(F.lit(1)),
+                                         2 * k)))
+    return morton
+
+
+def s2_face_uv_exprs(lon_col: str = "x", lat_col: str = "y"):
+    """(face, u, v) native columns from lon/lat degree columns."""
+    x, y, z = _lonlat_to_xyz(F.col(lon_col).cast("double"),
+                             F.col(lat_col).cast("double"))
+    return _face_uv_from_xyz(x, y, z)
+
+
 def _uv_to_st(u: Column) -> Column:
     # S2's quadratic projection: equal-area to within ~2.1x (vs ~5.2 for
     # linear), closed-form both ways
@@ -85,13 +109,8 @@ def _uv_to_st(u: Column) -> Column:
 def s2_face_ij_exprs(level: int, lon_col: str = "x", lat_col: str = "y"):
     """(face, i, j) native columns at `level` (i, j in [0, 2^level))."""
     face, u, v = s2_face_uv_exprs(lon_col, lat_col)
-    lim = 1 << level
-
-    def ij(st: Column) -> Column:
-        raw = F.floor(st * F.lit(float(lim))).cast("long")
-        return F.least(F.greatest(raw, F.lit(0)), F.lit(lim - 1))
-
-    return face, ij(_uv_to_st(u)), ij(_uv_to_st(v))
+    return (face, _ij_expr(_uv_to_st(u), level),
+            _ij_expr(_uv_to_st(v), level))
 
 
 def s2_quad_id_expr(level: int, lon_col: str = "x",
@@ -107,14 +126,8 @@ def s2_quad_id_expr(level: int, lon_col: str = "x",
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     face, i, j = s2_face_ij_exprs(level, lon_col, lat_col)
-    morton = F.lit(0).cast("long")
-    for k in range(level):
-        morton = (morton
-                  .bitwiseOR(F.shiftleft(F.shiftright(i, k).bitwiseAND(F.lit(1)),
-                                         2 * k + 1))
-                  .bitwiseOR(F.shiftleft(F.shiftright(j, k).bitwiseAND(F.lit(1)),
-                                         2 * k)))
-    return F.shiftleft(face, 2 * level).bitwiseOR(morton).alias("s2_quad")
+    return (F.shiftleft(face, 2 * level)
+            .bitwiseOR(_morton_expr(i, j, level)).alias("s2_quad"))
 
 
 def with_s2_quad(df, level: int, lon_col: str = "x", lat_col: str = "y",
@@ -139,37 +152,14 @@ def with_s2_quad(df, level: int, lon_col: str = "x", lat_col: str = "y",
     xe, ye, ze = _lonlat_to_xyz(F.col(lon_col).cast("double"),
                                 F.col(lat_col).cast("double"))
     df = df.withColumns({"_s2x": xe, "_s2y": ye, "_s2z": ze})
-    x, y, z = F.col("_s2x"), F.col("_s2y"), F.col("_s2z")
-    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    axis = (F.when((ax > ay) & (ax > az), F.lit(0))
-            .when(ay > az, F.lit(1)).otherwise(F.lit(2)))
-    comp = F.when(axis == 0, x).when(axis == 1, y).otherwise(z)
-    face = (axis + F.when(comp < 0, F.lit(3)).otherwise(F.lit(0))) \
-        .cast("long")
-    u = (F.when(face == 0, y / x).when(face == 1, -x / y)
-         .when(face == 2, -x / z).when(face == 3, z / x)
-         .when(face == 4, z / y).otherwise(-y / z))
-    v = (F.when(face == 0, z / x).when(face == 1, z / y)
-         .when(face == 2, -y / z).when(face == 3, y / x)
-         .when(face == 4, -x / y).otherwise(-x / z))
+    face, u, v = _face_uv_from_xyz(F.col("_s2x"), F.col("_s2y"),
+                                   F.col("_s2z"))
     df = df.withColumns({"_s2f": face, "_s2u": u, "_s2v": v})
-    lim = 1 << level
-
-    def ij(st: Column) -> Column:
-        raw = F.floor(st * F.lit(float(lim))).cast("long")
-        return F.least(F.greatest(raw, F.lit(0)), F.lit(lim - 1))
-
-    df = df.withColumns({"_s2i": ij(_uv_to_st(F.col("_s2u"))),
-                         "_s2j": ij(_uv_to_st(F.col("_s2v")))})
-    i, j = F.col("_s2i"), F.col("_s2j")
-    morton = F.lit(0).cast("long")
-    for k in range(level):
-        morton = (morton
-                  .bitwiseOR(F.shiftleft(F.shiftright(i, k).bitwiseAND(F.lit(1)),
-                                         2 * k + 1))
-                  .bitwiseOR(F.shiftleft(F.shiftright(j, k).bitwiseAND(F.lit(1)),
-                                         2 * k)))
-    out = F.shiftleft(F.col("_s2f"), 2 * level).bitwiseOR(morton)
+    df = df.withColumns({
+        "_s2i": _ij_expr(_uv_to_st(F.col("_s2u")), level),
+        "_s2j": _ij_expr(_uv_to_st(F.col("_s2v")), level)})
+    out = (F.shiftleft(F.col("_s2f"), 2 * level)
+           .bitwiseOR(_morton_expr(F.col("_s2i"), F.col("_s2j"), level)))
     return df.withColumn(out_col, out).drop(*tmp)
 
 

@@ -227,18 +227,21 @@ def audio_features(media: DataFrame, frame_ms: int = 0) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # normalize the id FIRST: a NULL media_id must yield a
+                # lineage row too, not re-raise inside the except handler
+                mid = -1 if mid is None or pd.isna(mid) else int(mid)
                 try:
                     x, rate = decode_wav(bytes(payload))
                     mono = x.mean(axis=1)
                     n = len(mono)
                     zc = (np.count_nonzero(np.diff(np.signbit(mono)))
                           / max(n - 1, 1))
-                    rows.append((int(mid), True, n / rate,
+                    rows.append((mid, True, n / rate,
                                  float(np.sqrt(np.mean(mono * mono))),
                                  float(np.max(np.abs(mono))), float(zc),
                                  int(rate), x.shape[1]))
                 except Exception:
-                    rows.append((int(mid), False, 0.0, 0.0, 0.0, 0.0, 0, 0))
+                    rows.append((mid, False, 0.0, 0.0, 0.0, 0.0, 0, 0))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "decode_ok", "duration_s", "rms", "peak",
                 "zcr", "sample_rate", "channels"])

@@ -573,121 +573,131 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     _limit_prev = spark.conf.get(_limit_key, None)
     spark.conf.set(_limit_key, "100000")
 
-    for level in range(start_level, cfg.max_levels):
-        lv_dir = os.path.join(ckpt, f"level={level}")
-        t0 = time.time()
-        # per-node count + bbox in ONE agg pass: the bbox costs nothing
-        # extra (same shuffle) and lets the routing spot tight-cluster
-        # nodes (megacities) whose whole point set sits within one spacing
-        # — those get 'express' mode instead of a multi-second local task
-        counts = (pending.groupBy("tile_id")
-                  .agg(F.count("*").alias("cnt"),
-                       F.min("x").alias("bx0"), F.min("y").alias("by0"),
-                       F.min("z").alias("bz0"),
-                       F.max("x").alias("bx1"), F.max("y").alias("by1"),
-                       F.max("z").alias("bz1")))
-        parallelism = (cfg.plan_parallelism
-                       or spark.sparkContext.defaultParallelism)
-        # BOUNDED probe: a level with <= node_broadcast_rows live nodes
-        # (every sandbox level; most real levels) comes back whole from
-        # the ONE pure-JVM routing job — modes computed driver-side over
-        # the O(cap) rows (exact level_total, r4-identical plans), node
-        # list re-shipped as a LocalRelation broadcast (no broadcast-
-        # exchange job, no Arrow stage). Over-cap levels never reach the
-        # driver: _node_meta_df runs the SAME rule as a distributed plan,
-        # only the per-mode histogram is collected, and node_meta joins
-        # to pending by shuffle (a GB-sized node list has no business
-        # being broadcast anyway).
-        cap = int(cfg.node_broadcast_rows)
-        node_meta_full = None
-        probe = counts.limit(cap + 1).collect()
-        broadcast_path = len(probe) <= cap
-        if broadcast_path:
-            n_in = int(sum(r["cnt"] for r in probe))
-            cutoff = _local_cutoff(cfg, n_in if n_in else None, parallelism)
-            meta_rows = (_node_meta_rows(probe, cfg, root_aabb,
-                                         root_spacing, cutoff)
-                         if n_in else [])
-            modes = {}
-            for _, mode, *_ in meta_rows:
-                modes[mode] = modes.get(mode, 0) + 1
-            n_nodes = len(meta_rows)
-        else:
-            cutoff = _local_cutoff(cfg, est_total, parallelism)
-            node_meta_full = _node_meta_df(counts, cfg, root_aabb,
-                                           root_spacing, cutoff).persist()
-            stats_rows = (node_meta_full.groupBy("mode")
-                          .agg(F.count("*").alias("nodes"),
-                               F.sum("cnt").alias("pts")).collect())
-            modes = {r["mode"]: int(r["nodes"]) for r in stats_rows}
-            n_nodes = int(sum(r["nodes"] for r in stats_rows))
-            n_in = int(sum(r["pts"] for r in stats_rows))
-        t_counts = time.time() - t0
-        if n_in == 0:
+    try:
+        for level in range(start_level, cfg.max_levels):
+            lv_dir = os.path.join(ckpt, f"level={level}")
+            t0 = time.time()
+            # per-node count + bbox in ONE agg pass: the bbox costs nothing
+            # extra (same shuffle) and lets the routing spot tight-cluster
+            # nodes (megacities) whose whole point set sits within one spacing
+            # — those get 'express' mode instead of a multi-second local task
+            counts = (pending.groupBy("tile_id")
+                      .agg(F.count("*").alias("cnt"),
+                           F.min("x").alias("bx0"), F.min("y").alias("by0"),
+                           F.min("z").alias("bz0"),
+                           F.max("x").alias("bx1"), F.max("y").alias("by1"),
+                           F.max("z").alias("bz1")))
+            parallelism = (cfg.plan_parallelism
+                           or spark.sparkContext.defaultParallelism)
+            # BOUNDED probe: a level with <= node_broadcast_rows live nodes
+            # (every sandbox level; most real levels) comes back whole from
+            # the ONE pure-JVM routing job — modes computed driver-side over
+            # the O(cap) rows (exact level_total, r4-identical plans), node
+            # list re-shipped as a LocalRelation broadcast (no broadcast-
+            # exchange job, no Arrow stage). Over-cap levels never reach the
+            # driver: _node_meta_df runs the SAME rule as a distributed plan,
+            # only the per-mode histogram is collected, and node_meta joins
+            # to pending by shuffle (a GB-sized node list has no business
+            # being broadcast anyway).
+            cap = int(cfg.node_broadcast_rows)
+            node_meta_full = None
+            # persisted so the over-cap path's _node_meta_df
+            # materialization reads the cached node rows instead of
+            # re-running the full groupBy over every pending point (the
+            # level's priciest pass); dropped right after the probe on
+            # the common path
+            counts = counts.persist()
+            probe = counts.limit(cap + 1).collect()
+            broadcast_path = len(probe) <= cap
+            if broadcast_path:
+                counts.unpersist()
+                n_in = int(sum(r["cnt"] for r in probe))
+                cutoff = _local_cutoff(cfg, n_in if n_in else None, parallelism)
+                meta_rows = (_node_meta_rows(probe, cfg, root_aabb,
+                                             root_spacing, cutoff)
+                             if n_in else [])
+                modes = {}
+                for _, mode, *_ in meta_rows:
+                    modes[mode] = modes.get(mode, 0) + 1
+                n_nodes = len(meta_rows)
+            else:
+                cutoff = _local_cutoff(cfg, est_total, parallelism)
+                node_meta_full = _node_meta_df(counts, cfg, root_aabb,
+                                               root_spacing, cutoff).persist()
+                stats_rows = (node_meta_full.groupBy("mode")
+                              .agg(F.count("*").alias("nodes"),
+                                   F.sum("cnt").alias("pts")).collect())
+                counts.unpersist()
+                modes = {r["mode"]: int(r["nodes"]) for r in stats_rows}
+                n_nodes = int(sum(r["nodes"] for r in stats_rows))
+                n_in = int(sum(r["pts"] for r in stats_rows))
+            t_counts = time.time() - t0
+            if n_in == 0:
+                if node_meta_full is not None:
+                    node_meta_full.unpersist()
+                complete = True
+                break
+            est_total = n_in   # next level's input is a subset of this one's
+
+            t0 = time.time()
+            if broadcast_path:
+                node_meta = spark.createDataFrame(meta_rows, _NODE_META_SCHEMA)
+                tagged = pending.join(F.broadcast(node_meta), "tile_id")
+            else:
+                tagged = pending.join(node_meta_full.drop("cnt"), "tile_id")
+            # leaf rows (the bulk at deep levels) are final as-is: pure JVM
+            # filter, NO shuffle, NO Python — node.py:70-73 leaf semantics
+            leaf_rows = (tagged.filter(F.col("mode") == "leaf")
+                         .select("point_id", "x", "y", "z", "tile_id",
+                                 F.lit(True).alias("accepted")))
+            nonleaf = (tagged.filter(F.col("mode") != "leaf")
+                       .withColumn("gk", group_key)
+                       .drop("mnx", "mny", "mnz", "sx", "sy", "sz")
+                       .groupBy("tile_id", "gk")
+                       .applyInPandas(kernel, schema=KERNEL_SCHEMA))
+            out_df = nonleaf.unionByName(leaf_rows)
+            if memory_mode:
+                from pyspark import StorageLevel
+                out_df = out_df.persist(StorageLevel.MEMORY_AND_DISK)
+                out_df.count()   # materialize the level
+                level_dfs.append(out_df)
+            else:
+                # hive-partition by `accepted`: ONE write, but the next
+                # level's NOT-accepted read partition-prunes the finalized
+                # rows away entirely and the final assignments union reads
+                # only accepted=true dirs — at deep levels (mostly-leaf
+                # output) this halves checkpoint read volume, which on a
+                # fault-bound host is wall-clock
+                (out_df.write.mode("overwrite").partitionBy("accepted")
+                 .parquet(os.path.join(lv_dir, "out")))
+            t_kernel = time.time() - t0
             if node_meta_full is not None:
                 node_meta_full.unpersist()
-            complete = True
-            break
-        est_total = n_in   # next level's input is a subset of this one's
 
-        t0 = time.time()
-        if broadcast_path:
-            node_meta = spark.createDataFrame(meta_rows, _NODE_META_SCHEMA)
-            tagged = pending.join(F.broadcast(node_meta), "tile_id")
+            lv_stats = {"level": level, "points_in": n_in,
+                        "nodes": n_nodes, "modes": modes,
+                        "sec_counts": round(t_counts, 3),
+                        "sec_kernel": round(t_kernel, 3)}
+            if not memory_mode:
+                with open(os.path.join(lv_dir, "_MANIFEST.json"), "w") as f:
+                    json.dump(lv_stats, f)
+            counters["levels"].append(lv_stats)
+
+            if modes.get("cell", 0) == 0 and modes.get("express", 0) == 0:
+                # leaf/local groups fully resolve their points — nothing forwards
+                complete = True
+                break
+            if memory_mode:
+                pending = out_df.filter("NOT accepted").drop("accepted")
+            else:
+                pending = _read_pending(spark, os.path.join(lv_dir, "out"))
+
+    finally:
+        spark.conf.set(_coalesce_key, _coalesce_prev)
+        if _limit_prev is None:
+            spark.conf.unset(_limit_key)
         else:
-            tagged = pending.join(node_meta_full.drop("cnt"), "tile_id")
-        # leaf rows (the bulk at deep levels) are final as-is: pure JVM
-        # filter, NO shuffle, NO Python — node.py:70-73 leaf semantics
-        leaf_rows = (tagged.filter(F.col("mode") == "leaf")
-                     .select("point_id", "x", "y", "z", "tile_id",
-                             F.lit(True).alias("accepted")))
-        nonleaf = (tagged.filter(F.col("mode") != "leaf")
-                   .withColumn("gk", group_key)
-                   .drop("mnx", "mny", "mnz", "sx", "sy", "sz")
-                   .groupBy("tile_id", "gk")
-                   .applyInPandas(kernel, schema=KERNEL_SCHEMA))
-        out_df = nonleaf.unionByName(leaf_rows)
-        if memory_mode:
-            from pyspark import StorageLevel
-            out_df = out_df.persist(StorageLevel.MEMORY_AND_DISK)
-            out_df.count()   # materialize the level
-            level_dfs.append(out_df)
-        else:
-            # hive-partition by `accepted`: ONE write, but the next
-            # level's NOT-accepted read partition-prunes the finalized
-            # rows away entirely and the final assignments union reads
-            # only accepted=true dirs — at deep levels (mostly-leaf
-            # output) this halves checkpoint read volume, which on a
-            # fault-bound host is wall-clock
-            (out_df.write.mode("overwrite").partitionBy("accepted")
-             .parquet(os.path.join(lv_dir, "out")))
-        t_kernel = time.time() - t0
-        if node_meta_full is not None:
-            node_meta_full.unpersist()
-
-        lv_stats = {"level": level, "points_in": n_in,
-                    "nodes": n_nodes, "modes": modes,
-                    "sec_counts": round(t_counts, 3),
-                    "sec_kernel": round(t_kernel, 3)}
-        if not memory_mode:
-            with open(os.path.join(lv_dir, "_MANIFEST.json"), "w") as f:
-                json.dump(lv_stats, f)
-        counters["levels"].append(lv_stats)
-
-        if modes.get("cell", 0) == 0 and modes.get("express", 0) == 0:
-            # leaf/local groups fully resolve their points — nothing forwards
-            complete = True
-            break
-        if memory_mode:
-            pending = out_df.filter("NOT accepted").drop("accepted")
-        else:
-            pending = _read_pending(spark, os.path.join(lv_dir, "out"))
-
-    spark.conf.set(_coalesce_key, _coalesce_prev)
-    if _limit_prev is None:
-        spark.conf.unset(_limit_key)
-    else:
-        spark.conf.set(_limit_key, _limit_prev)
+            spark.conf.set(_limit_key, _limit_prev)
     if input_cached is not None:
         input_cached.unpersist()
     if memory_mode:

@@ -199,7 +199,6 @@ def main():
     # An unbounded pending/counts collect reintroduces the reference
     # master bottleneck and fails this audit.
     import ast
-    import textwrap
     src_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "py3dtiles_spark", "operators",
         "tiling.py")
@@ -212,8 +211,9 @@ def main():
         if (isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
                 and node.func.attr == "collect"):
-            stmt = textwrap.dedent(
-                "\n".join(src.splitlines()[node.lineno - 3:node.end_lineno]))
+            # the exact source of THIS call chain — not a line window
+            # that could pick up unrelated neighboring statements
+            stmt = ast.get_source_segment(src, node) or ""
             ok = (".limit(cap + 1)" in stmt        # bounded routing probe
                   # scalar agg (no grouping -> 1 row)
                   or (".agg(" in stmt and ".groupBy" not in stmt)

@@ -1127,10 +1127,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible); invariant-gated by the green
         # tiling_invariants companion above
         "tiling_octree": q_tiling_octree,
-        # redundant plain-agg/join shapes (same physical shapes as
-        # pricing-style rows already in the checked window) — parked at the
-        # tail so every novel oracle sits inside the driver's 50-entry
-        # verification window; all were rows+schema+hash green in r1-r4
+    }
+    # r6: the registry is exactly the driver's verification window —
+    # every registered query is oracle-checked every round (VERDICT r5
+    # next-round #6). The five redundant plain-agg/join shapes that used
+    # to park past the window live in legacy_queries() below: still
+    # benched and plan-audited, no longer separately gate-checked (each
+    # was rows+schema+hash green in r1-r4 and duplicates a physical shape
+    # already inside the window).
+
+
+def legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Retired-from-gate queries: verified green in rounds 1-4, physically
+    redundant with shapes inside the checked window (plain partial-agg,
+    window top-k, broadcast dim join). Kept callable for bench.py and
+    scripts/plan_audit.py."""
+    return {
         "hourly_events": q_hourly_events,
         "top_users": q_top_users,
         "pricing_summary": q_pricing_summary,
@@ -1431,37 +1443,6 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_sum(list_transform(embedding,
                          v -> v::DOUBLE * v::DOUBLE)))), 6) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label""",
-        "hourly_events": """
-            SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value,
-                   count(DISTINCT user_id) AS n_users
-            FROM events GROUP BY 1 ORDER BY hour""",
-        "top_users": """
-            SELECT user_id, total, n, rk FROM (
-                SELECT user_id, round(sum(value), 4) AS total,
-                       count(*) AS n,
-                       row_number() OVER (ORDER BY round(sum(value), 4) DESC,
-                                          user_id ASC)::BIGINT AS rk
-                FROM events GROUP BY user_id)
-            WHERE rk <= 10 ORDER BY rk""",
-        "pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus""",
-        "lang_source_cube": """
-            SELECT lang, source, count(*) AS n FROM documents
-            GROUP BY lang, source ORDER BY lang, source""",
-        "customer_order_join": """
-            SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS revenue
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "affine_transform": f"""{geo}
             SELECT doc_id, round((x + 180.0) * 0.1, 6) AS tx,
                    round((y + 85.0) * 0.1, 6) AS ty,
@@ -1729,4 +1710,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, max(session_no)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id ORDER BY user_id""",
+    }
+
+
+def legacy_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for legacy_queries() — retired from the driver gate
+    (see legacy_queries docstring) but kept runnable so the pytest parity
+    test can still cross-check them any time."""
+    return {
+        "hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY hour""",
+        "top_users": """
+            SELECT user_id, total, n, rk FROM (
+                SELECT user_id, round(sum(value), 4) AS total,
+                       count(*) AS n,
+                       row_number() OVER (ORDER BY round(sum(value), 4) DESC,
+                                          user_id ASC)::BIGINT AS rk
+                FROM events GROUP BY user_id)
+            WHERE rk <= 10 ORDER BY rk""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "lang_source_cube": """
+            SELECT lang, source, count(*) AS n FROM documents
+            GROUP BY lang, source ORDER BY lang, source""",
+        "customer_order_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     }

@@ -38,7 +38,8 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from py3dtiles_spark.operators.tileset import (
-        build_tiles_df, build_tileset_json, rollup_small_children)
+        build_tiles_df, build_tileset_json_distributed,
+        rollup_small_children)
     from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
     from py3dtiles_spark.session import get_spark
     from py3dtiles_spark.sources.pages import generate_pages, pages_as_points
@@ -88,7 +89,10 @@ def main() -> None:
     assigned = points.join(res.assignments, "point_id")
     assigned = rollup_small_children(assigned)
     tiles = build_tiles_df(assigned)
-    docs = build_tileset_json(tiles.collect(), res.root_aabb, res.root_spacing)
+    # r6: distributed assembly (subtree JSON built executor-side) — the
+    # scale path is now also the benched path
+    docs = build_tileset_json_distributed(tiles, res.root_aabb,
+                                          res.root_spacing)
     assert "tileset.json" in docs
     timings["tileset_emit"] = round(time.time() - t0, 3)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -102,7 +106,7 @@ def main() -> None:
     # simhash_neardup's registry entry became an invariant wrapper (runs
     # the operator twice + cross-checks); keep timing the RAW operator so
     # round-over-round numbers stay comparable
-    qs = {**entrymod.queries(),
+    qs = {**entrymod.queries(), **entrymod.legacy_queries(),
           "simhash_neardup": entrymod.q_simhash_neardup_raw}
     for name in ["neardup_pairs", "knn_top5", "pip_polygon",
                  "pricing_summary", "hourly_events", "tiling_octree",

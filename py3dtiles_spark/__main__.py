@@ -183,7 +183,8 @@ def main(argv=None) -> int:
     # convert
     from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
     from py3dtiles_spark.operators.tileset import (
-        build_tiles_df, build_tileset_json, rollup_small_children)
+        build_tiles_df, build_tileset_json_distributed,
+        rollup_small_children)
     from py3dtiles_spark.sources.pages import generate_pages, pages_as_points
 
     import time as _time
@@ -236,9 +237,15 @@ def main(argv=None) -> int:
     assigned = points.join(res.assignments, "point_id")
     assigned = rollup_small_children(assigned)
     tiles = build_tiles_df(assigned)
-    docs = build_tileset_json(tiles.collect(), res.root_aabb,
-                              res.root_spacing, cfg.scale)
+    # distributed assembly: spilled subtree docs are written executor-side
+    # straight into the output dir (None markers); the driver writes only
+    # the root-composition docs
+    docs = build_tileset_json_distributed(tiles, res.root_aabb,
+                                          res.root_spacing, cfg.scale,
+                                          output_dir=args.output)
     for name, doc in docs.items():
+        if doc is None:
+            continue
         with open(os.path.join(args.output, name), "w") as f:
             json.dump(doc, f)
     if args.write_pnts:
@@ -263,7 +270,15 @@ def _emit_graph(spark, log_dir, out_dir):
     cores = spark.sparkContext.defaultParallelism
     spark.stop()
     from py3dtiles_spark.plans.activity import write_activity_artifacts
-    rep = write_activity_artifacts(log_dir, out_dir, cores=cores)
+    # the graph is a diagnostic artifact: a parse/render failure (e.g. an
+    # empty event-log dir when a pre-existing SparkSession ignored the
+    # eventLog conf) must not fail the CLI after a successful convert
+    try:
+        rep = write_activity_artifacts(log_dir, out_dir, cores=cores)
+    except Exception as exc:  # noqa: BLE001
+        print(f"warning: --graph artifacts skipped ({exc})", file=sys.stderr)
+        shutil.rmtree(log_dir, ignore_errors=True)
+        return
     shutil.rmtree(log_dir, ignore_errors=True)   # raw event log is large
     print(json.dumps({"activity": {
         "utilization": rep["utilization"], "tasks": rep["tasks"],

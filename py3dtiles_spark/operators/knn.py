@@ -384,6 +384,17 @@ def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
     ``queries.join(result, "q_id", "left_anti")``. The same applies to
     knn_join_bucketed at non-exhaustive probe counts.
 
+    SIZING CONTRACT: the grid spans ``[-cell_size * 2^20, cell_size *
+    2^20)`` per axis; coordinates beyond that clamp into the boundary bin.
+    Clamping never loses correctness (clamped rows become candidates and
+    are distance-filtered; `complete` stays the exactness gate) but if a
+    LARGE fraction of the input clamps, the boundary bin becomes one hot
+    cell — a join-skew cliff. Size cell_size so the coordinate domain
+    fits the bin range (e.g. ECEF meters, |coord| <= ~6.4e6, needs
+    cell_size >= ~6.2 m; geographic degrees fit at any cell_size >=
+    ~0.0002). For pathological inputs, pre-filter or re-center
+    coordinates rather than shrinking cell_size below the domain bound.
+
     Returns (q_id, n_id, dist, rank<=k, complete)."""
     cell = float(cell_size)
 

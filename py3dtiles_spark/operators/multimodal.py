@@ -234,6 +234,14 @@ def audio_features(media: DataFrame, frame_ms: int = 0) -> DataFrame:
                     x, rate = decode_wav(bytes(payload))
                     mono = x.mean(axis=1)
                     n = len(mono)
+                    if n == 0 or rate == 0:
+                        # a zero-frame (or zero-rate) WAV is a VALID decode
+                        # of an empty clip, not a failure: decode_ok stays
+                        # True with zeroed features so the lineage
+                        # distinguishes "empty" from "corrupt"
+                        rows.append((mid, True, 0.0, 0.0, 0.0, 0.0,
+                                     int(rate), x.shape[1]))
+                        continue
                     zc = (np.count_nonzero(np.diff(np.signbit(mono)))
                           / max(n - 1, 1))
                     rows.append((mid, True, n / rate,

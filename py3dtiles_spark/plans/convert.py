@@ -26,7 +26,7 @@ from py3dtiles_spark.functions.crs import (
     ecef_alignment_rotation, geodetic_to_ecef, tileset_transform)
 from py3dtiles_spark.functions.geometry import compute_spacing
 from py3dtiles_spark.operators.tileset import (
-    build_tiles_df, build_tileset_json, rollup_small_children)
+    build_tiles_df, build_tileset_json_distributed, rollup_small_children)
 from py3dtiles_spark.operators.tiling import TilingConfig, TilingResult, build_tiling
 from py3dtiles_spark.sources.las import las_scan, las_summary
 from py3dtiles_spark.sources.xyz import xyz_scan, xyz_summary
@@ -174,9 +174,11 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
     tiles = build_tiles_df(assigned)
 
     transform = tileset_transform(avg_min, root_scale, rotation)
-    docs = build_tileset_json(tiles.collect(), tiling.root_aabb,
-                              tiling.root_spacing, scale=root_scale,
-                              transform=transform)
+    docs = build_tileset_json_distributed(tiles, tiling.root_aabb,
+                                          tiling.root_spacing,
+                                          scale=root_scale,
+                                          transform=transform,
+                                          output_dir=out_dir or None)
     # the root's content is the 2x-spacing overview of its children
     # (reference convert.py:44-66) — reference it even when pnts emission
     # is skipped, matching the reference tileset shape
@@ -185,6 +187,8 @@ def convert_files(spark: SparkSession, paths, out_dir: str | None = None,
         os.makedirs(out_dir, exist_ok=True)
         import json
         for name, doc in docs.items():
+            if doc is None:      # spilled subtree already written executor-side
+                continue
             with open(os.path.join(out_dir, name), "w") as f:
                 json.dump(doc, f)
         if write_pnts:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from py3dtiles_spark.operators.tiling import TilingConfig, TilingResult, build_tiling
 from py3dtiles_spark.operators.tileset import (
-    build_tiles_df, build_tileset_json, rollup_small_children)
+    build_tiles_df, build_tileset_json_distributed, rollup_small_children)
 from py3dtiles_spark.sources.pages import geocode
 
 
@@ -76,8 +76,8 @@ def tile_pages(spark: SparkSession, pages: DataFrame,
 
     docs = {}
     if build_json:
-        docs = build_tileset_json(tiles.collect(), tiling.root_aabb,
-                                  tiling.root_spacing)
+        docs = build_tileset_json_distributed(tiles, tiling.root_aabb,
+                                              tiling.root_spacing)
 
     pages_tiled = geo.withColumn("point_id", pid).join(
         assigned.select("point_id", "tile_id"), "point_id")

@@ -113,3 +113,78 @@ def test_tileset_json_spill(spark):
     for name in spilled:
         others = json.dumps({k: v for k, v in docs.items() if k != name})
         assert name in others
+
+
+# ---------------------------------------------------- distributed assembly --
+
+def _random_octree_tiles(spark, seed=7, n=4000, max_depth=5):
+    """Random deep octree: points scattered so tiles exist at depths 0..5
+    across many depth-2 subtrees (exercises every seam of the distributed
+    assembly: shallow tiles, empty subtrees, spills at depths >= k AND
+    < k)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        depth = int(rng.integers(0, max_depth + 1))
+        tid = "".join(str(d) for d in rng.integers(0, 8, depth))
+        x, y, z = rng.uniform(0, 1, 3)
+        rows.append((i, float(x), float(y), float(z), tid))
+    return build_tiles_df(_mk_tiles(spark, rows))
+
+
+@pytest.mark.parametrize("spill_chars,subtree_depth", [
+    (300, 2),      # heavy spilling, spills both executor- and driver-side
+    (100_000, 2),  # no spills at this scale
+    (300, 1), (300, 3),
+])
+def test_distributed_tileset_byte_identical(spark, spill_chars, subtree_depth):
+    from py3dtiles_spark.operators.tileset import (
+        build_tileset_json_distributed)
+    tiles = _random_octree_tiles(spark)
+    root_aabb = np.array([[0, 0, 0], [1, 1, 1]], dtype=np.float32)
+    mono = build_tileset_json(tiles.collect(), root_aabb, 0.1,
+                              spill_chars=spill_chars)
+    dist = build_tileset_json_distributed(tiles, root_aabb, 0.1,
+                                          spill_chars=spill_chars,
+                                          subtree_depth=subtree_depth)
+    assert set(mono) == set(dist)
+    for name in mono:
+        assert json.dumps(mono[name]) == json.dumps(dist[name]), name
+
+
+def test_distributed_tileset_shallow_only(spark):
+    """All tiles above the subtree seam -> pure driver fallback path."""
+    from py3dtiles_spark.operators.tileset import (
+        build_tileset_json_distributed)
+    data = ([(i, 0.5, 0.5, 0.5, "") for i in range(5)]
+            + [(10 + i, 0.2, 0.2, 0.2, "0") for i in range(5)])
+    tiles = build_tiles_df(_mk_tiles(spark, data))
+    root_aabb = np.array([[0, 0, 0], [1, 1, 1]], dtype=np.float32)
+    mono = build_tileset_json(tiles.collect(), root_aabb, 0.1)
+    dist = build_tileset_json_distributed(tiles, root_aabb, 0.1,
+                                          subtree_depth=2)
+    assert json.dumps(mono) == json.dumps(dist)
+
+
+def test_distributed_tileset_executor_write(spark, tmp_path):
+    """output_dir mode: spilled subtree docs are written executor-side,
+    byte-identical to the monolithic build's docs; the driver dict carries
+    None markers for them."""
+    from py3dtiles_spark.operators.tileset import (
+        build_tileset_json_distributed)
+    tiles = _random_octree_tiles(spark, seed=11)
+    root_aabb = np.array([[0, 0, 0], [1, 1, 1]], dtype=np.float32)
+    mono = build_tileset_json(tiles.collect(), root_aabb, 0.1,
+                              spill_chars=300)
+    dist = build_tileset_json_distributed(tiles, root_aabb, 0.1,
+                                          spill_chars=300, subtree_depth=2,
+                                          output_dir=str(tmp_path))
+    assert set(mono) == set(dist)
+    deep_spills = [n for n, v in dist.items() if v is None]
+    assert deep_spills, "expected executor-written spill docs"
+    for name in mono:
+        if dist[name] is None:
+            with open(tmp_path / name) as f:
+                assert json.dumps(mono[name]) == json.dumps(json.load(f))
+        else:
+            assert json.dumps(mono[name]) == json.dumps(dist[name])

@@ -276,12 +276,17 @@ def q_corpus_curation(spark, sf_dir):
     d = _docs(spark, sf_dir)
     ntok = F.size(F.split("text", " ")).cast("long")
     punct = F.length(F.regexp_replace("text", "[^.,;:!?'\"()-]", ""))
-    q = (d.select("doc_id", "lang", "text", ntok.alias("ntok"),
-                  (punct / F.greatest(F.length("text"), F.lit(1)))
-                  .alias("punct_ratio"))
-         .filter((F.length("text") >= 80) & (F.col("ntok") >= 10)
-                 & (F.col("punct_ratio") <= 0.2)))
-    w = Window.partitionBy("text").orderBy("doc_id")
+    q = (d.filter((F.length("text") >= 80) & (ntok >= 10)
+                  & ((punct / F.greatest(F.length("text"), F.lit(1)))
+                     <= 0.2))
+         # dedup key = md5(text), computed map-side so the window
+         # exchange ships 32 hex chars, not the document body (the
+         # 100 TB shuffle-width fix; md5 collisions are the only
+         # divergence from text equality and the DuckDB twin applies
+         # the identical rule)
+         .select("doc_id", "lang", ntok.alias("ntok"),
+                 F.md5(F.encode("text", "UTF-8")).alias("_th")))
+    w = Window.partitionBy("_th").orderBy("doc_id")
     kept = (q.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1))
     return (kept.groupBy("lang")
@@ -310,17 +315,20 @@ def q_llm_pipeline(spark, sf_dir):
     g = _geo(spark, sf_dir)
     ntok = F.size(F.split("text", " ")).cast("long")
     punct = F.length(F.regexp_replace("text", "[^.,;:!?'\"()-]", ""))
-    gated = (g.select("doc_id", "lang", "text", "x", "y", "z",
-                      ntok.alias("ntok"),
-                      (punct / F.greatest(F.length("text"), F.lit(1)))
-                      .alias("punct_ratio"))
-             .filter((F.length("text") >= 80) & (F.col("ntok") >= 10)
-                     & (F.col("punct_ratio") <= 0.2)))
-    w = Window.partitionBy("text").orderBy("doc_id")
+    gated = (g.filter((F.length("text") >= 80) & (ntok >= 10)
+                      & ((punct / F.greatest(F.length("text"), F.lit(1)))
+                         <= 0.2))
+             # r6: dedup key = md5(text) computed map-side — the window
+             # exchange ships 32 hex chars per row instead of the full
+             # document body (the dominant shuffle width at 100 TB); the
+             # DuckDB twin dedups on the identical md5 rule
+             .select("doc_id", "lang", "x", "y", "z",
+                     F.md5(F.encode("text", "UTF-8")).alias("_th")))
+    w = Window.partitionBy("_th").orderBy("doc_id")
     kept = (gated.withColumn("_rk", F.row_number().over(w))
             .filter("_rk = 1").drop("_rk")
-            # text's job ends at the dedup window: select it away so the
-            # persisted frame (and the kNN inputs) stay narrow
+            # the hash's job ends at the dedup window: select it away so
+            # the persisted frame (and the kNN inputs) stay narrow
             .select("doc_id", "lang", "x", "y", "z"))
     if os.environ.get("SPARK_GRAFT_PLAN_AUDIT") != "1":
         # three consumers (points / queries / payload): compute the
@@ -1282,7 +1290,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM q WHERE ntok >= 10 AND punct_ratio <= 0.2),
             kept AS (
                 SELECT * FROM (
-                    SELECT *, row_number() OVER (PARTITION BY text
+                    SELECT *, row_number() OVER (PARTITION BY md5(text)
                                                  ORDER BY doc_id) AS rk
                     FROM gated) WHERE rk = 1)
             SELECT lang, count(*)::BIGINT AS kept_docs,
@@ -1299,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
             gated AS (SELECT * FROM g2
                       WHERE ntok >= 10 AND punct_ratio <= 0.2),
             kept AS (SELECT * FROM (
-                        SELECT *, row_number() OVER (PARTITION BY text
+                        SELECT *, row_number() OVER (PARTITION BY md5(text)
                                             ORDER BY doc_id) AS rk
                         FROM gated) WHERE rk = 1),
             qs AS (SELECT doc_id AS q_id, x, y, z,

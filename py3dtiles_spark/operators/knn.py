@@ -219,14 +219,18 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
     queries are themselves a table). Physical shape: per-side norms
     computed map-side, broadcast nested-loop join against the (small)
     query table, cosine as a native zip_with/aggregate expression, then
-    TWO-STAGE top-k: a partition-local rank over (_pid, q_id) — the pid
-    column is stamped map-side, so the first exchange hashes on a key
-    that spreads every q_id across all input partitions (no single task
-    ever receives ~N rows) and each group is cut to k BEFORE the global
-    per-q_id window, which then ranks only k*Q*partitions candidate rows
-    (the same partial-then-final shape as knn_points' local_topk). The
-    vector columns are projected away before any exchange, so shuffles
-    carry (q_id, n_id, cos) triples, never embeddings. Zero Python.
+    TWO-STAGE top-k via Catalyst's WindowGroupLimit (Spark >= 3.5): the
+    row_number()<=k filter plants a PARTIAL WindowGroupLimit before the
+    exchange, so every map partition is cut to k rows per q_id with NO
+    shuffle, the single exchange on q_id then carries at most
+    k*partitions rows per query (skew-safe — no task ever receives ~N
+    rows), and the FINAL WindowGroupLimit + window rank the survivors.
+    (r6: this replaces a manual _pid pre-rank stage that shuffled ALL
+    candidates on (_pid, q_id) before the q_id exchange — one whole
+    exchange of the candidate set gone, same skew guarantee, pinned by
+    scripts/plan_audit.py's WindowGroupLimit checks.) The vector columns
+    are projected away before the exchange, so shuffles carry
+    (q_id, n_id, cos) triples, never embeddings. Zero Python.
 
     Broadcast bounds the query side by executor memory; for query sets
     too big to broadcast, use knn_join_bucketed (both sides stay
@@ -250,15 +254,10 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.lit(0.0), lambda acc, x: acc + x)
     j = (e.crossJoin(F.broadcast(q))
          .withColumn("cos", dot / (F.col("_en") * F.col("_qn")))
-         .withColumn("_pid", F.spark_partition_id())
-         .select("_pid", "q_id", "n_id", "cos"))
-    wl = Window.partitionBy("_pid", "q_id").orderBy(F.col("cos").desc(),
-                                                    F.col("n_id").asc())
-    local = (j.withColumn("_lr", F.row_number().over(wl))
-              .filter(F.col("_lr") <= k).drop("_lr", "_pid"))
+         .select("q_id", "n_id", "cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("n_id").asc())
-    return (local.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (j.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "cos", "rank"))
 
@@ -344,14 +343,11 @@ def knn_join_bucketed(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", "n_id", "cos"))
     if n_probes > 1:
         cand = cand.groupBy("q_id", "n_id").agg(F.max("cos").alias("cos"))
-    cand = cand.withColumn("_pid", F.spark_partition_id())
-    wl = Window.partitionBy("_pid", "q_id").orderBy(F.col("cos").desc(),
-                                                    F.col("n_id").asc())
-    local = (cand.withColumn("_lr", F.row_number().over(wl))
-             .filter(F.col("_lr") <= k).drop("_lr", "_pid"))
+    # two-stage top-k via WindowGroupLimit: partial map-side cut to k per
+    # q_id before the exchange, final cut + rank after (see knn_join)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("n_id").asc())
-    return (local.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "cos", "rank"))
 
@@ -369,8 +365,9 @@ def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
        array-literal explode, zero Python;
     3. candidates = equi-join on cell_id (a hash shuffle of only the
        neighborhood's points per query region, never a cross product);
-    4. exact squared euclidean as native exprs, two-stage top-k
-       (partition-local pre-rank, then per-q_id window);
+    4. exact squared euclidean as native exprs, two-stage top-k via
+       Catalyst's WindowGroupLimit (partial map-side cut to k per q_id
+       before the exchange, final cut + rank after — see knn_join);
     5. per-row `complete` flag: the result is PROVABLY exact for query q
        iff q got k rows AND its k-th distance < n_rings * cell_size
        (every point outside the probed rings is at least that far) —
@@ -449,15 +446,12 @@ def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
                   + (F.col("_pz") - F.col("_qz")) ** 2)
     cand = (p.join(q, "cell_id")
             .withColumn("dist", dist)
-            .withColumn("_pid", F.spark_partition_id())
-            .select("_pid", "q_id", "n_id", "dist"))
-    wl = Window.partitionBy("_pid", "q_id").orderBy(F.col("dist").asc(),
-                                                    F.col("n_id").asc())
-    local = (cand.withColumn("_lr", F.row_number().over(wl))
-             .filter(F.col("_lr") <= k).drop("_lr", "_pid"))
+            .select("q_id", "n_id", "dist"))
+    # two-stage top-k via WindowGroupLimit: partial map-side cut to k per
+    # q_id before the exchange, final cut + rank after (see knn_join)
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
                                            F.col("n_id").asc())
-    ranked = (local.withColumn("rank", F.row_number().over(w).cast("long"))
+    ranked = (cand.withColumn("rank", F.row_number().over(w).cast("long"))
               .filter(F.col("rank") <= k))
     wq = Window.partitionBy("q_id")
     return (ranked

@@ -59,6 +59,14 @@ def get_spark(app_name: str = "py3dtiles-spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce the output partitioning of CACHED plans (off by
+        # default): a persisted intermediate otherwise pins its shuffle
+        # partition count, so every consumer of a small cached frame pays
+        # full-width task scheduling. Measured 3.3x on the composed
+        # llm_pipeline (10.6s -> 3.2s sf0.1); at cluster scale the same
+        # flag right-sizes cached curated sets after heavy filtering.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

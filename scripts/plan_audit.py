@@ -64,8 +64,13 @@ CHECKS = {
     "knn_join": [
         ("query side broadcast", r"Broadcast"),
         ("native cosine, zero Python stages", "!FlatMap|ArrowEval|BatchEval"),
-        ("partition-local pre-rank stage before the global top-k "
-         "(two windows, first keyed by _pid)", r"_pid[\s\S]*Window[\s\S]*Window"),
+        # r6: the partition-local pre-rank is Catalyst's WindowGroupLimit
+        # partial/final pair (replaces the manual _pid stage, which cost a
+        # whole extra exchange of the candidate set)
+        ("map-side partial top-k before the exchange (WindowGroupLimit "
+         "Partial/Final)", r"WindowGroupLimit[\s\S]*WindowGroupLimit"),
+        ("single candidate exchange (pre-rank shuffle eliminated)",
+         "#Exchange hashpartitioning<=1"),
         # "no Exchange line carries the embedding arrays" is asserted
         # per-line in tests/test_knn_dedup.py::
         # test_knn_join_local_prerank_stage_present (a whole-plan
@@ -94,18 +99,19 @@ CHECKS = {
          "!CartesianProduct"),
         ("gate/dedup/zorder/kNN stages are all JVM-native, zero Python",
          "!FlatMap|ArrowEval|BatchEval"),
-        ("kNN keeps the two-stage top-k through the composition",
-         r"_pid[\s\S]*Window[\s\S]*Window"),
+        ("kNN keeps the two-stage top-k through the composition "
+         "(WindowGroupLimit partial/final)",
+         r"WindowGroupLimit[\s\S]*WindowGroupLimit"),
         ("payload joins back as a broadcast (no extra shuffle at the "
          "seam)", r"BroadcastHashJoin"),
         # seam budget over the RAW lineage (audit mode disables the
-        # production persist of `kept`): 3 dedup-window subplans (full
-        # kept twice — one ReusedExchange at execution — plus the
-        # filter-pushed query branch), the kNN's two top-k exchanges, and
-        # partial-agg pairs. A regression that adds a shuffle at a stage
-        # seam trips the counter.
+        # production persist of `kept`), AQE final plan only: the dedup
+        # window's hash-key exchange (duplicated subplans collapse to
+        # ReusedExchange at execution), the grid-kNN candidate equi-join
+        # exchange, and the top-k final exchange. A regression that adds
+        # a shuffle at a stage seam trips the counter.
         ("no extra shuffles at the seams (exchange budget)",
-         "#Exchange hashpartitioning<=10"),
+         "#Exchange hashpartitioning<=4"),
     ],
     "zorder_key": [
         ("morton key is pure native exprs, zero Python",
@@ -129,8 +135,8 @@ CHECKS = {
         ("bucket equi-join, never a cross product", "!CartesianProduct"),
         ("hash/merge equi-join on the bucket key",
          r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
-        ("two-stage top-k (partition-local pre-rank)",
-         r"_pid[\s\S]*Window[\s\S]*Window"),
+        ("two-stage top-k (WindowGroupLimit partial/final)",
+         r"WindowGroupLimit[\s\S]*WindowGroupLimit"),
     ],
 }
 
@@ -174,9 +180,13 @@ def main():
                 ok = not any(tok in plan for tok in pat[1:].split("|"))
             elif pat.startswith("#"):
                 # budget check: "#substr<=N" -> occurrence count of substr
-                # must not exceed N
+                # must not exceed N. Counted over the AQE FINAL plan only:
+                # after collect() the executed-plan string appends the
+                # "== Initial Plan ==" section, which would double-count
+                # every exchange that survived into the final plan.
                 token, bound = pat[1:].rsplit("<=", 1)
-                ok = plan.count(token) <= int(bound)
+                final_plan = plan.split("== Initial Plan ==")[0]
+                ok = final_plan.count(token) <= int(bound)
             else:
                 ok = re.search(pat, plan) is not None
             mark = "PASS" if ok else "FAIL"

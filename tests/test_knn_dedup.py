@@ -160,10 +160,14 @@ def test_knn_join_matches_collected_path(spark):
 
 
 def test_knn_join_local_prerank_stage_present(spark):
-    """The r3 weak spot fix: knn_join must cut candidates to k per input
-    partition BEFORE the global per-q_id window (two Window stages in the
-    plan; the first partitioned by (_pid, q_id)), and no shuffle may carry
-    the embedding arrays (the projection to (q_id, n_id, cos) happens
+    """The r3 weak spot fix, r6 form: knn_join must cut candidates to k
+    per map partition BEFORE the global per-q_id exchange. Since r6 this
+    is Catalyst's WindowGroupLimit partial/final pair (the manual _pid
+    pre-rank stage it replaces shuffled the full candidate set on
+    (_pid, q_id) first — one whole exchange more). The plan must show a
+    Partial WindowGroupLimit upstream of the exchange and a Final one
+    after, exactly one candidate exchange, and no shuffle may carry the
+    embedding arrays (the projection to (q_id, n_id, cos) happens
     map-side)."""
     from py3dtiles_spark.operators.knn import knn_join
     from pyspark.sql import functions as F
@@ -173,8 +177,13 @@ def test_knn_join_local_prerank_stage_present(spark):
                  F.col("embedding").alias("qv")))
     joined = knn_join(df, q, k=4)
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") >= 2
-    assert "_pid" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    # the partial cut means ONE exchange of (q_id, n_id, cos) triples;
+    # the old manual pre-rank needed two
+    n_hash_exchanges = sum(1 for line in plan.splitlines()
+                           if "Exchange hashpartitioning" in line)
+    assert n_hash_exchanges <= 1, plan
     # no exchange ships the vector columns
     for line in plan.splitlines():
         if "Exchange" in line:

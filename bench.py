@@ -15,16 +15,46 @@ local[$SPARK_GRAFT_CPUS]:
 
 from __future__ import annotations
 
+import ctypes
 import json
+import mmap
 import os
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+
+
+def _sentinel(threads: int = 8, mb_per_thread: int = 16) -> float:
+    """Host-health probe: fresh-page memset throughput in GB/s (trimmed
+    scripts/fault_bench.py). This VM's kernel serializes first-touch page
+    faults (~65 us each) in episodes that inflate ANY alloc-heavy Spark
+    stage 2-20x; timing the probe right before each query makes those
+    episodes visible IN the bench output instead of being argued about
+    after the fact. Healthy window ~>4 GB/s; a serialized episode
+    collapses this to <0.5 GB/s. ~0.05 s healthy, ~2 s worst-case."""
+    n_bytes = mb_per_thread * 1024 * 1024
+    bufs = [mmap.mmap(-1, n_bytes) for _ in range(threads)]
+
+    def _memset(buf):
+        addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        ctypes.memset(addr, 1, n_bytes)          # GIL released in the call
+
+    ts = [threading.Thread(target=_memset, args=(b,)) for b in bufs]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.perf_counter() - t0
+    for b in bufs:
+        b.close()
+    return round(threads * n_bytes / 1e9 / wall, 3)
 
 
 def main() -> None:
@@ -47,6 +77,7 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=2 * CPUS)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    sentinel: dict[str, float] = {"start": _sentinel()}
 
     # ---- flagship: pages -> octree tiles --------------------------------
     # warmup: a small end-to-end build first (codegen, Python worker pool,
@@ -60,6 +91,7 @@ def main() -> None:
     shutil.rmtree(warm_ckpt, ignore_errors=True)
 
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    sentinel["flagship_tiling"] = _sentinel()
     t0 = time.time()
     points = pages_as_points(generate_pages(spark, BENCH_DOCS), skew=True)
     res = build_tiling(spark, points,
@@ -85,6 +117,7 @@ def main() -> None:
     spark.catalog.clearCache()
     shutil.rmtree(mem_ckpt, ignore_errors=True)
 
+    sentinel["tileset_emit"] = _sentinel()
     t0 = time.time()
     assigned = points.join(res.assignments, "point_id")
     assigned = rollup_small_children(assigned)
@@ -115,6 +148,7 @@ def main() -> None:
                  "knn_join_bucketed", "geohash_cells", "tfidf_terms",
                  "utm_convert", "llm_pipeline"]:
         n = qs[name](spark, SF_DIR).count()          # warmup, keep rows
+        sentinel[name] = _sentinel()
         ts = []
         for _ in range(RUNS):
             t0 = time.time()
@@ -125,6 +159,16 @@ def main() -> None:
         extra[f"{name}_rows"] = n
         extra[f"{name}_spread"] = [round(ts[0], 3), round(ts[-1], 3)]
 
+    sentinel["end"] = _sentinel()
+    # host_factor per query: how degraded the host was at that query's
+    # window relative to the run's best window (>=1.0; ~1 means clean,
+    # >>1 means a serialized-fault episode — divide the timing by it for
+    # a rough normalization, or just distrust that row). The memory-
+    # bandwidth probe is a proxy, not a law: it flags episodes, the raw
+    # timings stay the numbers of record.
+    best = max(sentinel.values())
+    host_factor = {k: round(best / v, 2) for k, v in sentinel.items()
+                   if k in timings}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
@@ -135,6 +179,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "bench_docs": BENCH_DOCS,
+        "sentinel_gbps": sentinel,
+        "host_factor": host_factor,
         **extra,
     }))
     spark.stop()

@@ -4,14 +4,16 @@ Media ride as opaque `binary` columns with typed metadata structs; the
 Spark-side plumbing — schemas, Arrow batch shapes, partition-friendly
 grouped processing — is real and tested. `probe_media` is REAL (container
 header parsing — PNG/JPEG/GIF/BMP dimensions, WAV audio params — pure
-byte slicing, no codec library), and the AUDIO decode is REAL too
+byte slicing, no codec library), the AUDIO decode is REAL
 (decode_wav: stdlib wave + numpy PCM -> samples; audio_features computes
-duration/RMS/peak/zero-crossing curation signals on actual samples).
-Only the IMAGE pixel decode is stubbed (no PIL/opencv in this
-container): `decode_image` raises NotImplementedError unless `fake=True`,
-in which case a deterministic fake decoder produces stable pseudo-pixels
-from the bytes so downstream feature extraction is exercisable
-end-to-end.
+duration/RMS/peak/zero-crossing curation signals on actual samples), and
+since r6 the PNG IMAGE decode is REAL too (decode_png/encode_png:
+stdlib-zlib IDAT inflate + per-scanline unfilter — Sub/Up/Average/Paeth —
+in numpy; 8-bit grey/grey-alpha/RGB/RGBA, the training-corpus common
+case). Non-PNG formats (JPEG entropy decode needs a codec library) still
+raise NotImplementedError from `decode_image` unless `fake=True`, whose
+deterministic pseudo-pixels keep downstream plumbing exercisable for any
+format.
 """
 
 from __future__ import annotations
@@ -48,13 +50,169 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (8-bit depth only; palette needs PLTE
+# indirection and is rare in training corpora — rejected explicitly)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(b: bytes):
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = __import__("struct").unpack(">I", b[i:i + 4])
+        ctype = b[i + 4:i + 8]
+        yield ctype, b[i + 8:i + 8 + length]
+        if ctype == b"IEND":
+            return
+        i += 12 + length                      # len + type + data + CRC
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only PNG decode: zlib-inflate the IDAT stream, then
+    invert the per-scanline filters (None/Sub/Up/Average/Paeth, RFC 2083
+    §6) with numpy row arithmetic. Supports 8-bit depth, color types
+    0 (grey), 2 (RGB), 4 (grey+alpha), 6 (RGBA), non-interlaced — the
+    common web/training-corpus case. Returns uint8 (h, w, channels).
+
+    Up is a whole-row vector add; Sub is a per-channel prefix sum
+    (cumsum mod 256); Average/Paeth predictors depend nonlinearly on the
+    left neighbor, so those rows walk pixels — per-image cost inside the
+    Arrow-batched kernel, never per-row-of-DataFrame Python."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    w = h = ctype_code = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13])
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            ctype_code = color
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ctype_code]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int32)
+        if f == 0:                                   # None
+            rec = cur
+        elif f == 1:                                 # Sub
+            rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:                                 # Up
+            rec = cur + prev
+        elif f == 3:                                 # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                rec[x] = (cur[x] + (a + int(prev[x])) // 2) % 256
+        elif f == 4:                                 # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b_ = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b_ if pb <= pc else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = (rec % 256).astype(np.uint8)
+        out[y] = prev
+    return out.reshape(h, w, ch)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (stdlib zlib + crc32): 8-bit grey/grey-alpha/
+    RGB/RGBA from uint8 (h, w[, c]). `filter_type` applies one filter to
+    every scanline (0..4) — the non-zero types exist so tests can pin the
+    decoder's unfilter logic against an independently-written FORWARD
+    filter, not just a roundtrip of the trivial case."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    img = img.astype(np.uint8)
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        lines.append(bytes([filter_type])
+                     + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
+    """Decode to uint8 (h, w, 3). PNG payloads decode for REAL
+    (decode_png; grey/alpha channels normalized to RGB); other formats
+    need a codec library and raise unless `fake=True`."""
     if fake:
         return _fake_decode(payload, width, height)
+    if payload[:8] == _PNG_MAGIC:
+        img = decode_png(payload)
+        ch = img.shape[2]
+        if ch == 1:
+            return np.repeat(img, 3, axis=2)
+        if ch == 2:                       # grey+alpha -> RGB, drop alpha
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        return img[:, :, :3]              # RGB / RGBA (alpha dropped)
     raise NotImplementedError(
-        "real image decoding requires PIL/opencv — not in this container; "
-        "pass fake=True for the deterministic stub")
+        "real decode implemented for PNG only (stdlib zlib); other "
+        "formats need PIL/opencv — not in this container; pass fake=True "
+        "for the deterministic stub")
 
 
 def probe_media_bytes(payload: bytes) -> dict:
@@ -135,22 +293,33 @@ def probe_media(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode -> per-channel mean/std features. mapInPandas; the Arrow batch
-    carries (media_id, payload, width, height); output is narrow floats."""
+    carries (media_id, payload, width, height); output is narrow floats.
+    With fake=False, PNG payloads decode for REAL (decode_png) and
+    undecodable payloads yield decode_ok=false lineage rows (same contract
+    as audio_features); with fake=True every payload 'decodes' via the
+    deterministic stub, so the column is uniformly true."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"],
                                           pdf["width"], pdf["height"]):
-                img = decode_image(bytes(payload), int(w), int(h), fake=fake)
-                feats.append((int(mid),
-                              *img.mean(axis=(0, 1)).tolist(),
-                              float(img.std())))
+                mid = -1 if mid is None or pd.isna(mid) else int(mid)
+                try:
+                    img = decode_image(bytes(payload), int(w), int(h),
+                                       fake=fake)
+                    feats.append((mid, True,
+                                  *img.mean(axis=(0, 1)).tolist(),
+                                  float(img.std())))
+                except Exception:
+                    feats.append((mid, False, 0.0, 0.0, 0.0, 0.0))
             yield pd.DataFrame(feats, columns=[
-                "media_id", "mean_r", "mean_g", "mean_b", "std_all"])
+                "media_id", "decode_ok", "mean_r", "mean_g", "mean_b",
+                "std_all"])
 
     return (media.filter("kind = 'image'")
             .select("media_id", "payload", "width", "height")
-            .mapInPandas(run, schema="media_id long, mean_r double, "
+            .mapInPandas(run, schema="media_id long, decode_ok boolean, "
+                                     "mean_r double, "
                                      "mean_g double, mean_b double, "
                                      "std_all double"))
 

@@ -346,3 +346,95 @@ def test_decode_wav_and_audio_features(spark):
     assert rows[0].peak <= 0.5 + 1e-6
     # 440 Hz sine crosses zero ~2*440 times/sec -> zcr ~ 880/8000
     assert abs(rows[0].zcr - 2 * 440 / 8000) < 0.01
+
+
+def test_decode_png_all_filter_types_roundtrip():
+    """Decoder's unfilter logic pinned against the independently-written
+    FORWARD filters in encode_png, for every filter type and channel
+    count (grey / grey+alpha / RGB / RGBA)."""
+    from py3dtiles_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 11, ch), dtype=np.uint8)
+        for ft in range(5):
+            out = decode_png(encode_png(img, filter_type=ft))
+            assert out.shape == (13, 11, ch), (ch, ft)
+            assert np.array_equal(out, img), (ch, ft)
+
+
+def test_decode_png_hand_computed_sub_filter():
+    """2x2 grey PNG with the Sub filter, unfiltered by hand:
+    row bytes [10, 20] -> recon [10, 30]; [200, 100] -> [200, 44]."""
+    import struct
+    import zlib
+    from py3dtiles_spark.operators.multimodal import (_PNG_MAGIC,
+                                                      decode_png)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([1, 10, 20]) + bytes([1, 200, 100])
+    png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out[:, :, 0].tolist() == [[10, 30], [200, 44]]  # (200+100)%256
+
+
+def test_decode_png_rejects_unsupported():
+    from py3dtiles_spark.operators.multimodal import decode_png, encode_png
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth: flip the depth byte in a valid header
+    good = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    good[24] = 16                                 # IHDR depth byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+
+
+def test_decode_image_real_png_channel_normalization():
+    """decode_image returns (h, w, 3) for every PNG channel count."""
+    from py3dtiles_spark.operators.multimodal import (decode_image,
+                                                      encode_png)
+    grey = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = decode_image(encode_png(grey), 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[:, :, 0], grey)
+    assert np.array_equal(out[:, :, 1], grey)
+    rgba = np.zeros((3, 3, 4), np.uint8)
+    rgba[..., 0] = 9
+    rgba[..., 3] = 200                            # alpha dropped
+    out = decode_image(encode_png(rgba), 3, 3)
+    assert out.shape == (3, 3, 3) and out[0, 0].tolist() == [9, 0, 0]
+
+
+def test_image_features_real_png_decode(spark):
+    """End-to-end: real PNG payloads through the Arrow-batched kernel —
+    a sine-gradient golden with known channel means, plus a corrupt
+    payload that must surface as a decode_ok=false lineage row."""
+    import pandas as pd
+
+    from py3dtiles_spark.operators.multimodal import encode_png
+
+    h = w = 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = (127.5 + 127.5 * np.sin(xx / 3.0)).astype(np.uint8)
+    img[..., 1] = (xx * 255 // (w - 1)).astype(np.uint8)   # ramp
+    img[..., 2] = 7
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [0, 1],
+        "kind": ["image", "image"],
+        "payload": [encode_png(img, filter_type=4), b"\x89PNG corrupt"],
+        "width": [w, w], "height": [h, h]}))
+    rows = {r.media_id: r for r in image_features(media, fake=False).collect()}
+    assert rows[0].decode_ok and not rows[1].decode_ok
+    assert abs(rows[0].mean_r - img[..., 0].mean()) < 1e-9
+    assert abs(rows[0].mean_g - img[..., 1].mean()) < 1e-9
+    assert abs(rows[0].mean_b - 7.0) < 1e-9
+    # resize on real pixels: nearest-neighbor of the constant channel
+    small = resize_image(media.filter("media_id = 0"), 4, 4,
+                         fake=False).collect()[0]
+    arr = np.frombuffer(small.payload, np.uint8).reshape(4, 4, 3)
+    assert (arr[..., 2] == 7).all()

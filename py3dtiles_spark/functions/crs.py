@@ -414,9 +414,68 @@ LCCParams.inverse_exprs = (
     lambda self, e_col="x", n_col="y": lcc_inverse_exprs(self, e_col, n_col))
 
 
+# ------------------------------------------------- pyproj fallback (optional) --
+# The closed-form set above covers the common cases natively (pure Catalyst
+# expressions, zero Python in the hot path). The long tail — national
+# grids, NAD zones, anything PROJ knows — falls back to pyproj WHEN
+# INSTALLED, mirroring the reference's pyproj dependency
+# (py3dtiles/points/task/las_reader.py:110, convert.py:387-399) without
+# making it a hard requirement. The exprs path is an Arrow-batched pandas
+# UDF (the documented slow path: batch-vectorized, never per-row).
+
+def _pyproj_available() -> bool:
+    try:
+        import pyproj  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class PyprojParams:
+    """Generic EPSG unprojection via pyproj (optional dependency).
+
+    `inverse` runs the transform driver-side on numpy arrays;
+    `inverse_exprs` ships the EPSG code (an int — cheap to serialize) and
+    builds the Transformer lazily per executor process."""
+
+    def __init__(self, epsg: int):
+        import pyproj
+
+        self.epsg = int(epsg)
+        self._tr = pyproj.Transformer.from_crs(
+            f"EPSG:{self.epsg}", "EPSG:4326", always_xy=True)
+
+    def inverse(self, easting, northing):
+        lon, lat = self._tr.transform(
+            np.asarray(easting, dtype=np.float64),
+            np.asarray(northing, dtype=np.float64))
+        return lon, lat
+
+    def inverse_exprs(self, e_col="x", n_col="y"):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        epsg = self.epsg
+
+        @pandas_udf("struct<lon:double,lat:double>")
+        def _unproject(e: pd.Series, n: pd.Series) -> pd.DataFrame:
+            import pyproj
+            tr = pyproj.Transformer.from_crs(
+                f"EPSG:{epsg}", "EPSG:4326", always_xy=True)
+            lon, lat = tr.transform(e.to_numpy(np.float64),
+                                    n.to_numpy(np.float64))
+            return pd.DataFrame({"lon": lon, "lat": lat})
+
+        s = _unproject(F.col(e_col).cast("double"),
+                       F.col(n_col).cast("double"))
+        return s.getField("lon"), s.getField("lat")
+
+
 def projection_for_epsg(srs_in: int):
-    """Projection object for a supported projected EPSG code, or None for
-    geodetic 4326/4979. Raises for unsupported codes."""
+    """Projection object for a projected EPSG code, or None for geodetic
+    4326/4979. Closed-form native-expression projections (LCC zones, UTM,
+    Web Mercator) are preferred; any OTHER code dispatches to pyproj when
+    importable and raises otherwise."""
     srs_in = int(srs_in)
     if srs_in in (4326, 4979):
         return None
@@ -426,10 +485,14 @@ def projection_for_epsg(srs_in: int):
         return utm_params(srs_in)
     if srs_in == 3857:
         return WebMercatorParams()
+    if _pyproj_available():
+        return PyprojParams(srs_in)
     raise ValueError(
-        f"EPSG:{srs_in} is not a supported projected CRS (known: UTM "
-        "32601-32660/32701-32760, Web Mercator 3857, Lambert-93 2154, CC "
-        "zones 3942-3950); geodetic 4326/4979 need no unprojection")
+        f"EPSG:{srs_in} has no closed-form projection in this engine "
+        "(native: UTM 32601-32660/32701-32760, Web Mercator 3857, "
+        "Lambert-93 2154, CC zones 3942-3950; geodetic 4326/4979 need no "
+        "unprojection) and pyproj is not installed — `pip install pyproj` "
+        "enables the generic fallback")
 
 
 def convert_to_ecef(x, y, z, epsg_input: int):

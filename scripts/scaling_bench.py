@@ -54,9 +54,16 @@ def one_run():
 import statistics
 one_run()
 n_runs = int(_os.environ.get("SPARK_GRAFT_RUNS", "5"))
-med = statistics.median(one_run()[0] for _ in range(n_runs))
+times, sentinels = [], []
+from bench import _sentinel as _host_probe
+for _ in range(n_runs):
+    sentinels.append(_host_probe())
+    times.append(one_run()[0])
+med = statistics.median(times)
 print(json.dumps({"cpus": cpus, "seconds": round(med, 3),
-                  "docs_per_sec": round(n_docs / med, 1), "runs": n_runs}))
+                  "docs_per_sec": round(n_docs / med, 1), "runs": n_runs,
+                  "sentinel_gbps": sentinels,
+                  "run_secs": [round(t, 3) for t in times]}))
 spark.stop()
 """
 

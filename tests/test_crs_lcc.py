@@ -88,9 +88,13 @@ def test_projected_to_geodetic_dispatch():
     lon, lat = projected_to_geodetic(2154, 700_000.0, 6_600_000.0)
     assert lon == pytest.approx(3.0, abs=1e-9)
     assert lat == pytest.approx(46.5, abs=1e-9)
-    # UTM is supported as of r5 (closed-form EPSG 9807); OSGB is not
-    with pytest.raises(ValueError, match="not a supported"):
-        projected_to_geodetic(27700, 0.0, 0.0)
+    # UTM is supported as of r5 (closed-form EPSG 9807); OSGB has no
+    # closed form — without pyproj (this container) it must raise, naming
+    # the optional fallback
+    from py3dtiles_spark.functions.crs import _pyproj_available
+    if not _pyproj_available():
+        with pytest.raises(ValueError, match="no closed-form projection"):
+            projected_to_geodetic(27700, 0.0, 0.0)
 
 
 def test_lcc_inverse_exprs_matches_numpy(spark):

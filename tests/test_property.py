@@ -8,12 +8,19 @@ functions the Spark exprs/kernels wrap.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import assume, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
 finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
 
 
-@settings(max_examples=200, deadline=None)
+# health checks suppressed, not the property: the two assume()s filter
+# hard near the boundary ulps, and on this host's degraded windows
+# generation itself can trip too_slow — both are environment noise, seen
+# as full-suite-only "hypothesis.errors.FailedHealthCheck" flakes (the
+# property held over a 5000-example hunt with a fresh seed)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.filter_too_much,
+                                 HealthCheck.too_slow])
 @given(st.floats(min_value=-180, max_value=180),
        st.floats(min_value=-90, max_value=90),
        st.integers(min_value=1, max_value=12))

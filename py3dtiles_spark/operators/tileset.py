@@ -260,6 +260,24 @@ def build_tileset_json_distributed(
         import pandas as _pd
         return _pd.DataFrame(rows, columns=["name", "body"])
 
+    # two consumers (deep kernel + shallow collect): persist the tiles
+    # dim so its upstream lineage (typically a full points join + agg)
+    # computes once — without this the whole chain re-executes for the
+    # 2-row shallow read (measured 2x the assembly wall at bench scale).
+    # The frame is one row per tile (narrow), so the cache is small even
+    # at 10^12 points, and AQE right-sizes its partitioning
+    # (canChangeCachedPlanOutputPartitioning).
+    tiles = tiles.persist()
+    try:
+        return _assemble_distributed(tiles, k, subtree_kernel, aabb,
+                                     spacing_f, scale_f, spill, uri_fn,
+                                     transform)
+    finally:
+        tiles.unpersist()
+
+
+def _assemble_distributed(tiles, k, subtree_kernel, aabb, spacing_f,
+                          scale_f, spill, uri_fn, transform):
     # one shuffle: applyInPandas hash-partitions on the depth-k prefix
     deep = tiles.filter(F.length("tile_id") >= k)
     kernel_rows = (deep

@@ -650,12 +650,20 @@ def build_tiling(spark: SparkSession, points: DataFrame,
             leaf_rows = (tagged.filter(F.col("mode") == "leaf")
                          .select("point_id", "x", "y", "z", "tile_id",
                                  F.lit(True).alias("accepted")))
-            nonleaf = (tagged.filter(F.col("mode") != "leaf")
-                       .withColumn("gk", group_key)
-                       .drop("mnx", "mny", "mnz", "sx", "sy", "sz")
-                       .groupBy("tile_id", "gk")
-                       .applyInPandas(kernel, schema=KERNEL_SCHEMA))
-            out_df = nonleaf.unionByName(leaf_rows)
+            if set(modes) == {"leaf"}:
+                # ALL-LEAF level (always the build's final level): the
+                # non-leaf branch is provably empty — skip its shuffle +
+                # Arrow kernel plan entirely instead of scheduling an
+                # empty applyInPandas stage (the mode histogram is already
+                # known driver-side either way)
+                out_df = leaf_rows
+            else:
+                nonleaf = (tagged.filter(F.col("mode") != "leaf")
+                           .withColumn("gk", group_key)
+                           .drop("mnx", "mny", "mnz", "sx", "sy", "sz")
+                           .groupBy("tile_id", "gk")
+                           .applyInPandas(kernel, schema=KERNEL_SCHEMA))
+                out_df = nonleaf.unionByName(leaf_rows)
             if memory_mode:
                 from pyspark import StorageLevel
                 out_df = out_df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -773,11 +773,24 @@ def q_vector_b3dm(spark, sf_dir):
 # ------------------------------- octree build (checkpoint-twin oracle, r6) --
 
 def _octree_ckpt_dir(sf_dir: str) -> str:
-    """Deterministic per-sf checkpoint path for q_tiling_octree, shared
-    with its DuckDB twin (which reads the accepted=true partitions)."""
+    """Deterministic per-sf, PER-PROCESS checkpoint path for
+    q_tiling_octree, shared with its DuckDB twin (which reads the
+    accepted=true partitions in the SAME process — the driver gate and
+    check_oracle.py both run Spark query then oracle in one process, so
+    the pid suffix makes concurrent gate/bench/dev runs collide-free).
+    The dir is removed at interpreter exit."""
+    import atexit
     import hashlib
+    import shutil
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
-    return f"/tmp/sg_octree_ckpt_{tag}"
+    path = f"/tmp/sg_octree_ckpt_{tag}_{os.getpid()}"
+    if path not in _OCTREE_CKPT_CLEANUP:
+        _OCTREE_CKPT_CLEANUP.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_OCTREE_CKPT_CLEANUP: set = set()
 
 
 def q_tiling_octree(spark, sf_dir):
@@ -1742,15 +1755,18 @@ def oracle_sql() -> dict[str, str]:
         # r6: the octree build's per-tile histogram, recomputed by DuckDB
         # straight from the accepted=true level-checkpoint partitions the
         # Spark query just wrote (the driver runs the Spark side first,
-        # which rebuilds the checkpoint at this deterministic path). This
-        # pins returned-assignments == durably-written-checkpoint; the
-        # order-dependent accept itself stays pinned by the replay
-        # goldens. Path is derived for the driver's sf0.01 gate dir —
-        # scripts/check_oracle.py at another sf passes the matching dir.
+        # which rebuilds the checkpoint at this deterministic per-process
+        # path). This pins returned-assignments == durably-written-
+        # checkpoint; the order-dependent accept itself stays pinned by
+        # the replay goldens. The sf dir defaults to the driver's sf0.01
+        # gate; SPARK_GRAFT_ORACLE_SF_DIR overrides it (check_oracle.py
+        # sets it so the twin follows any sf).
         "tiling_octree": f"""
             SELECT tile_id, count(*)::BIGINT AS point_count
             FROM read_parquet(
-                '{_octree_ckpt_dir("/root/testdata/sf0.01")}'
+                '{_octree_ckpt_dir(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF_DIR",
+                    "/root/testdata/sf0.01"))}'
                 || '/level=*/out/accepted=true/*.parquet',
                 hive_partitioning = 0)
             GROUP BY tile_id ORDER BY tile_id""",

@@ -442,8 +442,16 @@ class PyprojParams:
         import pyproj
 
         self.epsg = int(epsg)
-        self._tr = pyproj.Transformer.from_crs(
-            f"EPSG:{self.epsg}", "EPSG:4326", always_xy=True)
+        try:
+            self._tr = pyproj.Transformer.from_crs(
+                f"EPSG:{self.epsg}", "EPSG:4326", always_xy=True)
+        except Exception as exc:
+            # keep the dispatch's ValueError contract even when pyproj is
+            # present but the code is unknown to PROJ (CRSError otherwise
+            # leaks a raw pyproj traceback to CLI users)
+            raise ValueError(
+                f"EPSG:{self.epsg} is unknown to pyproj/PROJ and has no "
+                "closed-form projection in this engine") from exc
 
     def inverse(self, easting, northing):
         lon, lat = self._tr.transform(

@@ -46,6 +46,33 @@ def _topk_window(df: DataFrame, part_col: str, order_col: str, k: int) -> DataFr
               .filter(F.col("rank") <= k).drop("rank"))
 
 
+def _two_stage_topk(cand: DataFrame, order_cols, k: int) -> DataFrame:
+    """Per-q_id top-k with a GUARANTEED map-side cut before the exchange.
+
+    Catalyst's InferWindowGroupLimit plants the Partial/Final
+    WindowGroupLimit pair around the q_id exchange only while
+    k <= spark.sql.optimizer.windowGroupLimitThreshold (default 1000) —
+    inside that range the plain window+filter below already compiles to
+    the optimal two-stage plan with ONE candidate exchange (plan-audited).
+    For k beyond the threshold (or the rule disabled with -1), Catalyst
+    would silently drop the partial cut and one task could receive every
+    candidate for a hot q_id — so this helper re-inserts the explicit
+    partition-local pre-rank in exactly those configurations."""
+    w = Window.partitionBy("q_id").orderBy(*order_cols)
+    try:
+        thr = int(cand.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"))
+    except Exception:
+        thr = 1000
+    if thr < 0 or k > thr:
+        wl = Window.partitionBy("_pid", "q_id").orderBy(*order_cols)
+        cand = (cand.withColumn("_pid", F.spark_partition_id())
+                .withColumn("_lr", F.row_number().over(wl))
+                .filter(F.col("_lr") <= k).drop("_lr", "_pid"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
 def knn_points(points: DataFrame, queries, k: int = 10) -> DataFrame:
     """Exact kNN of each query (q_id, x, y, z) against a big point table
     (point_id, x, y, z). queries: small list of tuples or DataFrame.
@@ -255,10 +282,7 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
     j = (e.crossJoin(F.broadcast(q))
          .withColumn("cos", dot / (F.col("_en") * F.col("_qn")))
          .select("q_id", "n_id", "cos"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
-                                           F.col("n_id").asc())
-    return (j.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
+    return (_two_stage_topk(j, [F.col("cos").desc(), F.col("n_id").asc()], k)
             .select("q_id", "n_id", "cos", "rank"))
 
 
@@ -343,12 +367,10 @@ def knn_join_bucketed(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", "n_id", "cos"))
     if n_probes > 1:
         cand = cand.groupBy("q_id", "n_id").agg(F.max("cos").alias("cos"))
-    # two-stage top-k via WindowGroupLimit: partial map-side cut to k per
-    # q_id before the exchange, final cut + rank after (see knn_join)
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
-                                           F.col("n_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
+    # two-stage top-k: WindowGroupLimit partial/final inside the
+    # threshold, explicit pre-rank beyond it (see _two_stage_topk)
+    return (_two_stage_topk(cand,
+                            [F.col("cos").desc(), F.col("n_id").asc()], k)
             .select("q_id", "n_id", "cos", "rank"))
 
 
@@ -447,12 +469,10 @@ def knn_join_points(points: DataFrame, queries: DataFrame, k: int = 10,
     cand = (p.join(q, "cell_id")
             .withColumn("dist", dist)
             .select("q_id", "n_id", "dist"))
-    # two-stage top-k via WindowGroupLimit: partial map-side cut to k per
-    # q_id before the exchange, final cut + rank after (see knn_join)
-    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
-                                           F.col("n_id").asc())
-    ranked = (cand.withColumn("rank", F.row_number().over(w).cast("long"))
-              .filter(F.col("rank") <= k))
+    # two-stage top-k: WindowGroupLimit partial/final inside the
+    # threshold, explicit pre-rank beyond it (see _two_stage_topk)
+    ranked = _two_stage_topk(
+        cand, [F.col("dist").asc(), F.col("n_id").asc()], k)
     wq = Window.partitionBy("q_id")
     return (ranked
             .withColumn("_kth", F.max("dist").over(wq))

@@ -19,6 +19,8 @@ format.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -59,7 +61,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 def _png_chunks(b: bytes):
     i = 8
     while i + 8 <= len(b):
-        (length,) = __import__("struct").unpack(">I", b[i:i + 4])
+        (length,) = struct.unpack(">I", b[i:i + 4])
         ctype = b[i + 4:i + 8]
         yield ctype, b[i + 8:i + 8 + length]
         if ctype == b"IEND":
@@ -78,9 +80,6 @@ def decode_png(payload: bytes) -> np.ndarray:
     (cumsum mod 256); Average/Paeth predictors depend nonlinearly on the
     left neighbor, so those rows walk pixels — per-image cost inside the
     Arrow-batched kernel, never per-row-of-DataFrame Python."""
-    import struct
-    import zlib
-
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
     w = h = ctype_code = None
@@ -147,9 +146,6 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     every scanline (0..4) — the non-zero types exist so tests can pin the
     decoder's unfilter logic against an independently-written FORWARD
     filter, not just a roundtrip of the trivial case."""
-    import struct
-    import zlib
-
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -327,15 +323,25 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
 def resize_image(media: DataFrame, out_w: int, out_h: int,
                  fake: bool = True) -> DataFrame:
     """Nearest-neighbor resize on the decoded pixels; returns re-encoded
-    raw bytes + new dims (the Spark plumbing for a real resize UDF)."""
+    raw bytes + new dims (the Spark plumbing for a real resize UDF).
+
+    Sample indices come from the DECODED array's own shape, never the
+    metadata width/height columns (a metadata/pixel mismatch must not
+    crash the stage). Undecodable payloads are dropped — resize is a
+    transform; run `image_features(fake=False)` for decode_ok lineage."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"],
                                           pdf["width"], pdf["height"]):
-                img = decode_image(bytes(payload), int(w), int(h), fake=fake)
-                yi = (np.arange(out_h) * h // out_h)
-                xi = (np.arange(out_w) * w // out_w)
+                try:
+                    img = decode_image(bytes(payload), int(w), int(h),
+                                       fake=fake)
+                except Exception:
+                    continue
+                ih, iw = img.shape[0], img.shape[1]
+                yi = (np.arange(out_h) * ih // out_h)
+                xi = (np.arange(out_w) * iw // out_w)
                 small = img[yi][:, xi]
                 rows.append((int(mid), small.tobytes(), out_w, out_h))
             yield pd.DataFrame(rows, columns=["media_id", "payload",

@@ -35,6 +35,10 @@ def normalize(rows, cols):
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+    # path-embedding oracles (tiling_octree's checkpoint twin) follow the
+    # sf dir through this env var; the driver gate leaves it unset and
+    # gets the sf0.01 default
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("oracle-check", cpus=8)
     con = duckdb.connect()
     for t in TABLES:

@@ -120,8 +120,11 @@ def test_utm_params_epsg_mapping():
     assert projection_for_epsg(4326) is None
     assert isinstance(projection_for_epsg(32633), TMParams)
     assert isinstance(projection_for_epsg(3857), WebMercatorParams)
-    with pytest.raises(ValueError, match="no closed-form projection"):
-        projection_for_epsg(27700)
+    from py3dtiles_spark.functions.crs import _pyproj_available
+    if not _pyproj_available():
+        # with pyproj installed 27700 (OSGB) resolves via the fallback
+        with pytest.raises(ValueError, match="no closed-form projection"):
+            projection_for_epsg(27700)
 
 
 def test_web_mercator_inverse():

@@ -177,8 +177,12 @@ def test_knn_join_local_prerank_stage_present(spark):
                  F.col("embedding").alias("qv")))
     joined = knn_join(df, q, k=4)
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan
-    assert "Partial" in plan and "Final" in plan
+    # assert the modes ON the WindowGroupLimit lines themselves — a bare
+    # `"Final" in plan` is vacuous (the AQE header always contains
+    # "isFinalPlan=...")
+    wgl_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in wgl_lines), plan
+    assert any("Final" in l for l in wgl_lines), plan
     # the partial cut means ONE exchange of (q_id, n_id, cos) triples;
     # the old manual pre-rank needed two
     n_hash_exchanges = sum(1 for line in plan.splitlines()
@@ -188,6 +192,35 @@ def test_knn_join_local_prerank_stage_present(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "_ev" not in line and "_qv" not in line
+
+
+def test_knn_join_large_k_reinserts_manual_prerank(spark):
+    """Catalyst only plants the WindowGroupLimit pair while
+    k <= windowGroupLimitThreshold; beyond it (or with the rule disabled)
+    _two_stage_topk must re-insert the explicit _pid pre-rank so the
+    q_id exchange never carries the full candidate set for a hot query.
+    Pinned by shrinking the threshold below k and checking both the plan
+    shape and that results equal the default-config run."""
+    from py3dtiles_spark.operators.knn import knn_join
+    from pyspark.sql import functions as F
+    df, _ = _emb_df(spark, n=120, dim=8, seed=29)
+    q = (df.filter("vec_id < 3")
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qv")))
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(key, "1000")
+    expected = [(r.q_id, r.rank, r.n_id)
+                for r in knn_join(df, q, k=4).orderBy("q_id", "rank").collect()]
+    try:
+        spark.conf.set(key, "2")          # k=4 now exceeds the threshold
+        joined = knn_join(df, q, k=4)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "_pid" in plan, plan       # manual pre-rank is back
+        got = [(r.q_id, r.rank, r.n_id)
+               for r in joined.orderBy("q_id", "rank").collect()]
+    finally:
+        spark.conf.set(key, prev)
+    assert got == expected
 
 
 def test_knn_join_bucketed_exhaustive_is_exact(spark):

@@ -190,11 +190,41 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL uncompressed-BMP decode (BI_RGB, 24/32-bit): pure header
+    arithmetic + one numpy reshape. Rows are stored bottom-up (top-down
+    when biHeight < 0) and 4-byte padded; pixel order is BGR(A).
+    Returns uint8 (h, w, 3|4) in RGB(A) order."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h = abs(h_signed)
+    ch = bpp // 8
+    row_bytes = (w * ch + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_bytes * h, offset=data_off)
+    rows = rows.reshape(h, row_bytes)[:, :w * ch].reshape(h, w, ch)
+    if h_signed > 0:
+        rows = rows[::-1]                 # bottom-up storage
+    return rows[:, :, [2, 1, 0] if ch == 3 else [2, 1, 0, 3]]
+
+
 def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
-    """Decode to uint8 (h, w, 3). PNG payloads decode for REAL
-    (decode_png; grey/alpha channels normalized to RGB); other formats
-    need a codec library and raise unless `fake=True`."""
+    """Decode to uint8 (h, w, 3). PNG and uncompressed-BMP payloads
+    decode for REAL (decode_png / decode_bmp; grey/alpha channels
+    normalized to RGB); other formats need a codec library and raise
+    unless `fake=True`."""
     if fake:
         return _fake_decode(payload, width, height)
     if payload[:8] == _PNG_MAGIC:
@@ -205,10 +235,12 @@ def decode_image(payload: bytes, width: int, height: int,
         if ch == 2:                       # grey+alpha -> RGB, drop alpha
             return np.repeat(img[:, :, :1], 3, axis=2)
         return img[:, :, :3]              # RGB / RGBA (alpha dropped)
+    if payload[:2] == b"BM":
+        return np.ascontiguousarray(decode_bmp(payload)[:, :, :3])
     raise NotImplementedError(
-        "real decode implemented for PNG only (stdlib zlib); other "
-        "formats need PIL/opencv — not in this container; pass fake=True "
-        "for the deterministic stub")
+        "real decode implemented for PNG and uncompressed BMP (stdlib); "
+        "other formats need PIL/opencv — not in this container; pass "
+        "fake=True for the deterministic stub")
 
 
 def probe_media_bytes(payload: bytes) -> dict:

@@ -438,3 +438,37 @@ def test_image_features_real_png_decode(spark):
                          fake=False).collect()[0]
     arr = np.frombuffer(small.payload, np.uint8).reshape(4, 4, 3)
     assert (arr[..., 2] == 7).all()
+
+
+def _bmp(img, top_down=False):
+    """Independent BMP writer (BI_RGB 24-bit, 4-byte row padding)."""
+    import struct
+    h, w, _ = img.shape
+    row = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row - w * 3)
+    body = b""
+    rows = img if top_down else img[::-1]
+    for r in rows:
+        body += r[:, ::-1].astype(np.uint8).tobytes() + pad   # BGR
+    hsign = -h if top_down else h
+    dib = struct.pack("<IiiHHIIiiII", 40, w, hsign, 1, 24, 0,
+                      row * h, 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return head + dib + body
+
+
+def test_decode_bmp_real_pixels():
+    """BMP decode pinned against an independently-written encoder, both
+    storage orders, padding-exercising width, plus rejects."""
+    from py3dtiles_spark.operators.multimodal import decode_bmp, decode_image
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)   # w=3 -> pad
+    assert np.array_equal(decode_bmp(_bmp(img)), img)
+    assert np.array_equal(decode_bmp(_bmp(img, top_down=True)), img)
+    out = decode_image(_bmp(img), 3, 5)
+    assert out.shape == (5, 3, 3) and np.array_equal(out, img)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)                    # truncated
+    bad = bytearray(_bmp(img)); bad[30] = 1                 # RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))

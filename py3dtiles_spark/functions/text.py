@@ -143,6 +143,87 @@ def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "term", "tf", "score", "rk"))
 
 
+def substring_dup_stats(docs, shingle_tokens: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Exact-substring duplication rate per document (the corpus-level
+    signal behind suffix-array substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's `shingle_tokens`-token rolling windows whose
+    exact text occurs at >= 2 positions anywhere in the corpus (any doc,
+    including repeats within the same doc).
+
+    Physical shape at 100 TB: explode the rolling windows, hash each
+    to a fixed-width md5 map-side (the shuffle ships 32 hex chars per
+    position, never window text), one map-side-combined groupBy(hash) for
+    corpus counts, equi-join back, per-doc agg. No pair materialization,
+    so a shingle shared by 10^6 positions costs one counter, not 10^12
+    pairs — hot-shingle skew is bounded by construction.
+
+    Short docs (< shingle_tokens tokens) contribute one whole-doc window,
+    matching `fingerprint`'s semantics.
+
+    Returns (doc_id, n_shingles, dup_shingles, dup_frac) with dup_frac
+    rounded to 6 dp.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.size(toks) - (shingle_tokens - 1),
+                                F.lit(1)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_tokens),
+                                     " ")))
+    sh = docs.select(id_col, F.explode(hashes).alias("h"))
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (sh.join(cnt, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                  .alias("dup_shingles"))
+            .select(id_col, "n_shingles", "dup_shingles",
+                    F.round(F.col("dup_shingles")
+                            / F.col("n_shingles").cast("double"), 6)
+                     .alias("dup_frac")))
+
+
+def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Self-trained unigram language-model score per document — the
+    cheap analogue of CCNet's KenLM perplexity filter: train a unigram
+    LM on the corpus itself (add-one smoothing over the observed vocab),
+    then score each doc by its mean token log-probability. Low scores
+    flag gibberish / off-distribution text; the corpus needs no external
+    model.
+
+        p(t)    = (c(t) + 1) / (T + V)
+        score_d = sum_t tf(d,t) * ln p(t) / sum_t tf(d,t)
+
+    Physical shape at 100 TB: one explode -> two map-side-combined aggs
+    (per-(doc,term) tf and vocab counts) -> scalar (T, V) broadcast ->
+    term equi-join (vocab-sized right side — broadcast when it fits,
+    shuffle equi-join otherwise) -> per-doc agg. Same audited seams as
+    `tfidf_top_terms`; zero Python.
+
+    Returns (doc_id, n_tokens, logprob) with logprob rounded to 6 dp.
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(F.filter(tokens(text_col), lambda t: t != F.lit("")))
+        .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    scalars = vocab.agg(F.sum("c").alias("T"),
+                        F.count(F.lit(1)).alias("V"))
+    lp = (vocab.crossJoin(F.broadcast(scalars))
+          .select("term",
+                  F.log((F.col("c") + 1.0)
+                        / (F.col("T") + F.col("V"))).alias("lp")))
+    return (tf.join(lp, "term")
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.round(F.sum(F.col("tf") * F.col("lp"))
+                         / F.sum("tf"), 6).alias("logprob")))
+
+
 def dup_ngram_fraction(text_col: str = "text", n: int = 3) -> Column:
     """Gopher-style repetition signal: fraction of word n-grams that are
     duplicates of an earlier n-gram in the same document

@@ -54,3 +54,48 @@ def test_bpe_ish_token_count(spark):
                                "doc_id long, text string")
     n = df.select(T.bpe_ish_token_count().alias("n")).collect()[0].n
     assert n >= 4  # hello, world, 42, foo, -, bar split
+
+
+def test_substring_dup_stats_hand_computed(spark):
+    # shingle_tokens=2 corpus, dup = shingle string at >=2 positions
+    # ANYWHERE (cross-doc "a b", cross-doc short-doc "z", within-doc
+    # "p q"/"q p" repeats)
+    df = spark.createDataFrame(
+        [(0, "a b c"),       # "a b" dup (d1), "b c" unique -> 1/2
+         (1, "a b x"),       # "a b" dup, "b x" unique      -> 1/2
+         (2, "z"),           # short doc: whole-doc window, dup (d3)
+         (3, "z"),
+         (4, "p q p q p")],  # all 4 windows repeat within the doc
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           T.substring_dup_stats(df, shingle_tokens=2).collect()}
+    assert (got[0].n_shingles, got[0].dup_shingles, got[0].dup_frac) \
+        == (2, 1, 0.5)
+    assert (got[1].n_shingles, got[1].dup_shingles, got[1].dup_frac) \
+        == (2, 1, 0.5)
+    assert (got[2].n_shingles, got[2].dup_frac) == (1, 1.0)
+    assert (got[3].n_shingles, got[3].dup_frac) == (1, 1.0)
+    assert (got[4].n_shingles, got[4].dup_shingles, got[4].dup_frac) \
+        == (4, 4, 1.0)
+
+
+def test_substring_dup_filters_empty_tokens(spark):
+    # double spaces must not create '' tokens that alias across docs
+    df = spark.createDataFrame(
+        [(0, "a  b"), (1, "c d")], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           T.substring_dup_stats(df, shingle_tokens=2).collect()}
+    assert got[0].n_shingles == 1 and got[0].dup_shingles == 0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+    # corpus: a:3 b:2 c:1 -> T=6, V=3; p = (c+1)/(T+V)
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c")], "doc_id long, text string")
+    got = {r.doc_id: r for r in T.unigram_logprob(df).collect()}
+    pa, pb, pc = 4 / 9, 3 / 9, 2 / 9
+    exp0 = round((3 * math.log(pa) + math.log(pb)) / 4, 6)
+    exp1 = round((math.log(pb) + math.log(pc)) / 2, 6)
+    assert got[0].n_tokens == 4 and abs(got[0].logprob - exp0) < 1e-9
+    assert got[1].n_tokens == 2 and abs(got[1].logprob - exp1) < 1e-9

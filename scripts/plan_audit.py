@@ -131,6 +131,23 @@ CHECKS = {
         ("map-side partial agg on the exploded tokens",
          r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
     ],
+    "substring_dup": [
+        ("all-native shingle pipeline, zero Python",
+         "!FlatMap|ArrowEval|BatchEval"),
+        ("never a cartesian product", "!CartesianProduct"),
+        ("map-side partial agg on the exploded shingle hashes",
+         r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+        ("count join is an equi-join on the md5 key",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\[h"),
+    ],
+    "unigram_logprob": [
+        ("all-native LM scoring, zero Python",
+         "!FlatMap|ArrowEval|BatchEval"),
+        ("never a cartesian product", "!CartesianProduct"),
+        ("scalar (T, V) side is broadcast", r"Broadcast"),
+        ("map-side partial agg on the exploded tokens",
+         r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+    ],
     "knn_join_bucketed": [
         ("bucket equi-join, never a cross product", "!CartesianProduct"),
         ("hash/merge equi-join on the bucket key",

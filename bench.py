@@ -146,7 +146,8 @@ def main() -> None:
                  "simhash_neardup", "feature_quadtree", "vector_b3dm",
                  "s2_cells", "raster_cells", "knn_join",
                  "knn_join_bucketed", "geohash_cells", "tfidf_terms",
-                 "utm_convert", "llm_pipeline", "substring_dup"]:
+                 "utm_convert", "llm_pipeline", "substring_dup",
+                 "unigram_logprob", "corpus_curation"]:
         n = qs[name](spark, SF_DIR).count()          # warmup, keep rows
         sentinel[name] = _sentinel()
         ts = []

@@ -88,16 +88,25 @@ def lang_id(text_col: str = "text") -> Column:
     return F.when(best_score > 0, expr).otherwise(F.lit("und"))
 
 
+def _shingle_hashes(toks: Column, shingle_tokens: int) -> Column:
+    """md5 of every `shingle_tokens`-token rolling window of `toks`
+    (array<string>): sequence + slice + array_join + md5, all native.
+    Docs shorter than the window contribute ONE whole-doc window — the
+    shared rule for fingerprint() and substring_dup_stats()."""
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.size(toks) - (shingle_tokens - 1),
+                                F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_tokens),
+                                     " ")))
+
+
 def fingerprint(text_col: str = "text", shingle_tokens: int = 8) -> Column:
     """Document fingerprint: minimum md5 over all `shingle_tokens`-token
     rolling windows (a winnowing-style rolling-hash fingerprint, fully
     native: sequence + slice + md5 + array_min)."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(1),
-                     F.greatest(F.size(toks) - (shingle_tokens - 1), F.lit(1)))
-    hashes = F.transform(
-        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_tokens), " ")))
-    return F.array_min(hashes)
+    return F.array_min(_shingle_hashes(tokens(text_col), shingle_tokens))
 
 
 def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
@@ -166,14 +175,8 @@ def substring_dup_stats(docs, shingle_tokens: int = 8,
     rounded to 6 dp.
     """
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    idx = F.sequence(F.lit(1),
-                     F.greatest(F.size(toks) - (shingle_tokens - 1),
-                                F.lit(1)))
-    hashes = F.transform(
-        idx,
-        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_tokens),
-                                     " ")))
-    sh = docs.select(id_col, F.explode(hashes).alias("h"))
+    sh = docs.select(
+        id_col, F.explode(_shingle_hashes(toks, shingle_tokens)).alias("h"))
     cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     return (sh.join(cnt, "h")
             .groupBy(id_col)

@@ -148,6 +148,25 @@ CHECKS = {
         ("map-side partial agg on the exploded tokens",
          r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
     ],
+    # rotated-to-legacy entries keep their plan coverage here (the
+    # registry comment and SURVEY promise "still benched and
+    # plan-audited" for them)
+    "knn_top5": [
+        # brute-force baseline: one Arrow-batched numpy matmul per
+        # partition (the documented kernel shape), then a window re-rank
+        ("Arrow-batched matmul kernel (no row-at-a-time Python)",
+         r"MapInPandas|ArrowEval|mapInArrow"),
+        ("two-stage top-k window", r"Window"),
+        ("never a cartesian product", "!CartesianProduct"),
+    ],
+    "corpus_curation": [
+        ("all-native gate+dedup pipeline, zero Python",
+         "!FlatMap|ArrowEval|BatchEval"),
+        ("window dedup on the md5 key, not document bodies",
+         r"Window[\s\S]*_th"),
+        ("map-side partial agg",
+         r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+    ],
     "knn_join_bucketed": [
         ("bucket equi-join, never a cross product", "!CartesianProduct"),
         ("hash/merge equi-join on the bucket key",

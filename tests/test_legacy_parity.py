@@ -10,27 +10,16 @@ import sys
 import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 import __spark_entry__ as entrymod
+# the gate's own comparison — imported, not copied, so this test can
+# never diverge from what scripts/check_oracle.py actually applies
+from check_oracle import TABLES, normalize as _normalize
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.6f}"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
 
 
 @pytest.fixture(scope="module")

@@ -377,6 +377,18 @@ def q_substring_dup(spark, sf_dir):
     return substring_dup_stats(d, shingle_tokens=8).orderBy("doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C / Gopher 13-gram
+    style, here 8-token windows): per training doc, count of rolling
+    windows shared with a deterministic eval subset (doc_id % 41 = 0 of
+    the same corpus — no external data). Eval shingles distinct once ->
+    broadcast equi-join -> per-doc agg; zero Python."""
+    from py3dtiles_spark.functions.text import contamination_stats
+    d = _docs(spark, sf_dir)
+    ev = d.filter("doc_id % 41 = 0")
+    return contamination_stats(d, ev, shingle_tokens=8).orderBy("doc_id")
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Self-trained unigram-LM quality score (CCNet KenLM-filter
     analogue): add-one-smoothed corpus unigram model, per-doc mean token
@@ -1222,6 +1234,9 @@ def legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate->md5-dedup->agg pipeline is llm_pipeline's prefix
         "knn_top5": q_knn_top5,
         "corpus_curation": q_corpus_curation,
+        # r6 late: new operator whose gate slot doesn't exist (window is
+        # full at 50) — verified by tests/test_legacy_parity.py instead
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1815,6 +1830,27 @@ def legacy_oracle_sql() -> dict[str, str]:
     (see legacy_queries docstring) but kept runnable so the pytest parity
     test can still cross-check them any time."""
     return {
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       md5(array_to_string(t[g.i:g.i + 7], ' ')) AS h
+                FROM toks,
+                LATERAL unnest(generate_series(
+                    1, greatest(len(t) - 7, 1))) AS g(i)),
+            eh AS (SELECT DISTINCT h FROM sh WHERE doc_id % 41 = 0)
+            SELECT sh.doc_id,
+                   count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN eh.h IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS contaminated,
+                   CAST(sum(CASE WHEN eh.h IS NOT NULL THEN 1 ELSE 0 END)
+                        > 0 AS BIGINT) AS is_contaminated
+            FROM sh LEFT JOIN eh USING (h)
+            GROUP BY sh.doc_id ORDER BY sh.doc_id""",
         "knn_top5": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS qv
                        FROM embeddings WHERE vec_id IN (0, 7)),

@@ -189,6 +189,44 @@ def substring_dup_stats(docs, shingle_tokens: int = 8,
                      .alias("dup_frac")))
 
 
+def contamination_stats(docs, eval_docs, shingle_tokens: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination: per training document, how many of its
+    `shingle_tokens`-token rolling windows also occur in an evaluation
+    set (the n-gram-overlap rule used to scrub eval leakage from
+    pre-training corpora, e.g. GPT-3 appendix C / Gopher's 13-gram
+    filter — here over the same window rule as `fingerprint` and
+    `substring_dup_stats`).
+
+    Physical shape at 100 TB: the eval side is tiny relative to the
+    corpus — distinct eval shingle hashes build ONCE and broadcast into
+    an equi-join against the corpus's exploded window hashes (Catalyst
+    picks broadcast when it fits, shuffle equi-join otherwise); then one
+    map-side-combined per-doc agg. Zero Python either way.
+
+    Returns (doc_id, n_shingles, contaminated, is_contaminated) —
+    `contaminated` counts windows present in the eval set,
+    `is_contaminated` flags docs with any hit.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    sh = docs.select(
+        id_col, F.explode(_shingle_hashes(toks, shingle_tokens)).alias("h"))
+    etoks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    eh = (eval_docs
+          .select(F.explode(_shingle_hashes(etoks, shingle_tokens))
+                  .alias("h"))
+          .distinct()
+          .withColumn("_hit", F.lit(1)))
+    return (sh.join(eh, "h", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                  .alias("contaminated"))
+            .select(id_col, "n_shingles", "contaminated",
+                    (F.col("contaminated") > 0).cast("long")
+                     .alias("is_contaminated")))
+
+
 def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Self-trained unigram language-model score per document — the
     cheap analogue of CCNet's KenLM perplexity filter: train a unigram

@@ -167,6 +167,14 @@ CHECKS = {
         ("map-side partial agg",
          r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
     ],
+    "decontaminate": [
+        ("all-native decontamination, zero Python",
+         "!FlatMap|ArrowEval|BatchEval"),
+        ("eval shingle set joins by broadcast", r"BroadcastHashJoin"),
+        ("never a cartesian product", "!CartesianProduct"),
+        ("map-side partial agg on the per-doc rollup",
+         r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+    ],
     "knn_join_bucketed": [
         ("bucket equi-join, never a cross product", "!CartesianProduct"),
         ("hash/merge equi-join on the bucket key",

@@ -99,3 +99,21 @@ def test_unigram_logprob_hand_computed(spark):
     exp1 = round((math.log(pb) + math.log(pc)) / 2, 6)
     assert got[0].n_tokens == 4 and abs(got[0].logprob - exp0) < 1e-9
     assert got[1].n_tokens == 2 and abs(got[1].logprob - exp1) < 1e-9
+
+
+def test_contamination_stats_hand_computed(spark):
+    # eval = {d9}: "a b" + "b c" windows (shingle_tokens=2)
+    train = spark.createDataFrame(
+        [(0, "a b c"),      # both windows in eval -> 2/2, flagged
+         (1, "a b x"),      # "a b" hits, "b x" doesn't -> 1/2, flagged
+         (2, "p q r"),      # clean
+         (9, "a b c")],     # the eval doc itself: full self-hit
+        "doc_id long, text string")
+    ev = train.filter("doc_id = 9")
+    got = {r.doc_id: r for r in
+           T.contamination_stats(train, ev, shingle_tokens=2).collect()}
+    assert (got[0].n_shingles, got[0].contaminated,
+            got[0].is_contaminated) == (2, 2, 1)
+    assert (got[1].contaminated, got[1].is_contaminated) == (1, 1)
+    assert (got[2].contaminated, got[2].is_contaminated) == (0, 0)
+    assert got[9].is_contaminated == 1

@@ -1366,8 +1366,12 @@ def oracle_sql() -> dict[str, str]:
                                    t -> t <> '') AS t
                 FROM documents),
             sh AS (
+                -- coalesce: DuckDB's array_to_string([]) is NULL where
+                -- Spark's array_join([]) is '' — token-less docs must
+                -- keep their whole-doc window on both sides
                 SELECT doc_id,
-                       md5(array_to_string(t[g.i:g.i + 7], ' ')) AS h
+                       md5(coalesce(array_to_string(
+                           t[g.i:g.i + 7], ' '), '')) AS h
                 FROM toks,
                 LATERAL unnest(generate_series(
                     1, greatest(len(t) - 7, 1))) AS g(i)),
@@ -1838,7 +1842,8 @@ def legacy_oracle_sql() -> dict[str, str]:
                 FROM documents),
             sh AS (
                 SELECT doc_id,
-                       md5(array_to_string(t[g.i:g.i + 7], ' ')) AS h
+                       md5(coalesce(array_to_string(
+                           t[g.i:g.i + 7], ' '), '')) AS h
                 FROM toks,
                 LATERAL unnest(generate_series(
                     1, greatest(len(t) - 7, 1))) AS g(i)),

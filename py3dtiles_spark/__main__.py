@@ -91,6 +91,27 @@ def main(argv=None) -> int:
     i = sub.add_parser("info", help="decode a .pnts or .b3dm file")
     i.add_argument("path")
 
+    cu = sub.add_parser(
+        "curate",
+        help="documents parquet -> per-doc curation signals + kept subset "
+             "(the training-data pipeline as one job: quality, lang, "
+             "token counts, substring-dup rate, unigram-LM score, exact "
+             "dedup, optional eval decontamination)")
+    cu.add_argument("--input", required=True,
+                    help="parquet with (doc_id, text[, ...])")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--eval-input", default=None,
+                    help="parquet of eval docs (doc_id, text): flag docs "
+                         "sharing shingles with it (decontamination)")
+    cu.add_argument("--shingle-tokens", type=int, default=8)
+    cu.add_argument("--min-quality", type=float, default=0.0)
+    cu.add_argument("--max-dup-frac", type=float, default=1.0,
+                    help="drop docs whose substring-duplication fraction "
+                         "exceeds this")
+    cu.add_argument("--dedup", choices=["none", "exact"], default="exact")
+    cu.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
     args = p.parse_args(argv)
 
     if args.cmd == "info":
@@ -116,6 +137,69 @@ def main(argv=None) -> int:
         graph_log_dir = tempfile.mkdtemp(prefix="spark_evlog_")
         os.environ["SPARK_GRAFT_EVENT_LOG_DIR"] = graph_log_dir
     spark = get_spark("py3dtiles-spark-cli", cpus=args.cpus)
+
+    if args.cmd == "curate":
+        from pyspark.sql import Window, functions as F
+        from py3dtiles_spark.functions.text import (
+            contamination_stats, lang_id, quality_score,
+            substring_dup_stats, token_count, unigram_logprob)
+        docs = spark.read.parquet(args.input)
+        base = docs.select("doc_id",
+                           lang_id().alias("lang_guess"),
+                           token_count().cast("long").alias("n_tokens"),
+                           F.round(quality_score(), 6).alias("quality"))
+        dup = substring_dup_stats(
+            docs, shingle_tokens=args.shingle_tokens).drop("n_shingles")
+        lm = unigram_logprob(docs).drop("n_tokens")
+        signals = base.join(dup, "doc_id").join(lm, "doc_id")
+        if args.eval_input:
+            ev = spark.read.parquet(args.eval_input)
+            cont = contamination_stats(
+                docs, ev, shingle_tokens=args.shingle_tokens) \
+                .select("doc_id", "is_contaminated")
+            signals = signals.join(cont, "doc_id")
+        else:
+            signals = signals.withColumn("is_contaminated",
+                                         F.lit(0).cast("long"))
+        if args.dedup == "exact":
+            # md5 key so the dedup window ships 32 hex chars, never
+            # document bodies (same rule as the gate/llm_pipeline path)
+            w = Window.partitionBy(F.md5(F.encode("text", "UTF-8"))) \
+                      .orderBy("doc_id")
+            first = (docs.select("doc_id",
+                                 F.row_number().over(w).alias("_rk"))
+                     .select("doc_id",
+                             (F.col("_rk") == 1).cast("long")
+                              .alias("is_canonical")))
+            signals = signals.join(first, "doc_id")
+        else:
+            signals = signals.withColumn("is_canonical",
+                                         F.lit(1).cast("long"))
+        signals = signals.withColumn(
+            "kept",
+            ((F.col("is_canonical") == 1)
+             & (F.col("is_contaminated") == 0)
+             & (F.col("quality") >= args.min_quality)
+             & (F.col("dup_frac") <= args.max_dup_frac)).cast("long"))
+        signals.write.mode("overwrite") \
+            .parquet(os.path.join(args.output, "signals"))
+        # kept subset: original rows, executor-side write
+        kept = (docs.join(signals.filter("kept = 1").select("doc_id"),
+                          "doc_id"))
+        kept.write.mode("overwrite") \
+            .parquet(os.path.join(args.output, "kept"))
+        # scalar aggs only cross the driver boundary
+        tot = signals.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("kept").alias("kept"),
+            F.sum("is_contaminated").alias("contaminated"),
+            F.sum(F.when(F.col("is_canonical") == 0, 1).otherwise(0))
+             .alias("dups_dropped")).collect()[0]
+        print(json.dumps({"docs": int(tot["docs"]),
+                          "kept": int(tot["kept"]),
+                          "contaminated": int(tot["contaminated"]),
+                          "dups_dropped": int(tot["dups_dropped"])}))
+        return 0
 
     if args.cmd == "export":
         from pyspark.sql import functions as F

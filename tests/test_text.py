@@ -117,3 +117,37 @@ def test_contamination_stats_hand_computed(spark):
     assert (got[1].contaminated, got[1].is_contaminated) == (1, 1)
     assert (got[2].contaminated, got[2].is_contaminated) == (0, 0)
     assert got[9].is_contaminated == 1
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    # the curate subcommand composes the curation operators into one job:
+    # signals parquet + kept subset + scalar JSON summary
+    import json
+
+    from py3dtiles_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat and then sat some more today ok"),
+         (1, "the cat sat on the mat and then sat some more today ok"),
+         (2, "completely different words entirely unlike anything else"),
+         (3, "held out eval document with its own distinct words")],
+        "doc_id long, text string").write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(0, "held out eval document with its own distinct words")],
+        "doc_id long, text string").write.mode("overwrite").parquet(ev)
+    out = str(tmp_path / "out")
+    rc = main(["curate", "--input", src, "--output", out,
+               "--eval-input", ev, "--cpus", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 1 is an exact dup of doc 0 (dropped), doc 3 matches the eval
+    # set (contaminated), docs 0 and 2 survive
+    assert summary == {"docs": 4, "kept": 2, "contaminated": 1,
+                       "dups_dropped": 1}
+    sig = {r.doc_id: r for r in spark.read.parquet(f"{out}/signals").collect()}
+    assert sig[1].is_canonical == 0 and sig[0].is_canonical == 1
+    assert sig[3].is_contaminated == 1
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {0, 2}

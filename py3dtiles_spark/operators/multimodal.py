@@ -219,11 +219,189 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, [2, 1, 0] if ch == 3 else [2, 1, 0, 3]]
 
 
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes, table
+    capped at 4095). Returns uint8 palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while n_out < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out[n_out:n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if n_out < n_pixels:
+        raise ValueError("GIF pixel data incomplete")
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF decode (stdlib bit-twiddling + numpy): first image frame,
+    global or local palette, optional interlacing. Returns uint8
+    (h, w, 3) RGB. Animation frames past the first, transparency, and
+    disposal are out of scope (curation features need pixels, not
+    playback)."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, packed = struct.unpack("<HHB", payload[6:11])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:                       # extension: skip sub-blocks
+            pos += 1                            # label
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:                     # image descriptor
+            _, _, w, h, ipacked = struct.unpack("<HHHHB",
+                                                payload[pos:pos + 9])
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:                  # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                    offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            img = idx.reshape(h, w)
+            if ipacked & 0x40:                  # deinterlace (4 passes)
+                out = np.empty_like(img)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows = range(start, h, step)
+                    out[list(rows)] = img[src:src + len(rows)]
+                    src += len(rows)
+                img = out
+            return pal[img]
+        elif block == 0x3B:                     # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Independent FORWARD twin for tests (like encode_png): single-frame
+    GIF89a with a global palette built from the image's distinct colors
+    (<= 256) and a width-capped LZW stream (literal codes with CLEAR
+    resets before the decoder's table would force a width bump — valid
+    per spec, deliberately not the decoder's algorithm in reverse)."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif supports <= 256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    n_pal = 1 << bits
+    pal_bytes = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal_bytes[:len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal_bytes.tobytes()
+    ipacked = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    min_code = bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    # decoder table grows by one per literal after the first post-clear
+    # code; reset before next_code reaches 1 << (min_code + 1)
+    budget = (1 << (min_code + 1)) - (clear + 2)
+    pixels = idx.reshape(h, w)
+    if interlace:
+        order = [r for start, step in _GIF_INTERLACE_PASSES
+                 for r in range(start, h, step)]
+        pixels = pixels[order]
+    stream = pixels.reshape(-1)
+    codes.append(clear)
+    since_clear = 0
+    for px in stream:
+        if since_clear >= budget:
+            codes.append(clear)
+            since_clear = 0
+        codes.append(int(px))
+        since_clear += 1
+    codes.append(end)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += min_code + 1
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
-    """Decode to uint8 (h, w, 3). PNG and uncompressed-BMP payloads
-    decode for REAL (decode_png / decode_bmp; grey/alpha channels
-    normalized to RGB); other formats need a codec library and raise
+    """Decode to uint8 (h, w, 3). PNG, GIF, and uncompressed-BMP payloads
+    decode for REAL (decode_png / decode_gif / decode_bmp; grey/alpha
+    channels normalized to RGB); JPEG needs a codec library and raises
     unless `fake=True`."""
     if fake:
         return _fake_decode(payload, width, height)
@@ -237,10 +415,12 @@ def decode_image(payload: bytes, width: int, height: int,
         return img[:, :, :3]              # RGB / RGBA (alpha dropped)
     if payload[:2] == b"BM":
         return np.ascontiguousarray(decode_bmp(payload)[:, :, :3])
+    if payload[:6] in _GIF_MAGICS:
+        return np.ascontiguousarray(decode_gif(payload))
     raise NotImplementedError(
-        "real decode implemented for PNG and uncompressed BMP (stdlib); "
-        "other formats need PIL/opencv — not in this container; pass "
-        "fake=True for the deterministic stub")
+        "real decode implemented for PNG, GIF, and uncompressed BMP "
+        "(stdlib); JPEG needs a codec library (PIL/opencv — not in this "
+        "container); pass fake=True for the deterministic stub")
 
 
 def probe_media_bytes(payload: bytes) -> dict:

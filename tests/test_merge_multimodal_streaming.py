@@ -472,3 +472,55 @@ def test_decode_bmp_real_pixels():
     bad = bytearray(_bmp(img)); bad[30] = 1                 # RLE8
     with pytest.raises(ValueError):
         decode_bmp(bytes(bad))
+
+
+def test_decode_gif_hand_packed_codes():
+    """4x1 palette image whose LZW codes are hand-packed byte by byte:
+    min_code_size=2 -> clear=4, end=5, initial width 3. Codes
+    [4,0,1,2,3,5]: after the literals 1/2/3 the decoder's table holds
+    6,7,8 entries so width bumps to 4 before code 3 is read."""
+    import numpy as np
+    from py3dtiles_spark.operators.multimodal import decode_gif
+
+    # codes and widths: 4(3b) 0(3b) 1(3b) 2(3b) 3(4b) 5(4b) — the width
+    # grows to 4 when table length reaches 8 (after appending for '2')
+    bits = ""
+    for code, w in ((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)):
+        bits += format(code, f"0{w}b")[::-1]       # LSB-first
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(int(b) << k for k, b in enumerate(bits[i:i + 8])))
+    pal = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 99, 99, 99])  # 4 colors
+    gif = (b"GIF89a" + bytes([4, 0, 1, 0, 0x81, 0, 0]) + pal
+           + b"\x2c" + bytes([0, 0, 0, 0, 4, 0, 1, 0, 0])
+           + bytes([2, len(data)]) + bytes(data) + b"\x00\x3b")
+    img = decode_gif(gif)
+    assert img.shape == (1, 4, 3)
+    assert img[0, 0].tolist() == [10, 0, 0]
+    assert img[0, 1].tolist() == [0, 20, 0]
+    assert img[0, 2].tolist() == [0, 0, 30]
+    assert img[0, 3].tolist() == [99, 99, 99]
+
+
+def test_decode_gif_roundtrip_and_interlace():
+    import numpy as np
+    from py3dtiles_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    for h, w, ncol in ((1, 1, 1), (3, 5, 4), (16, 9, 200), (8, 8, 256)):
+        colors = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        img = colors[rng.integers(0, ncol, size=(h, w))]
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+    img = rng.integers(0, 256, size=(11, 4, 3), dtype=np.uint8)
+    img = (img // 64) * 64                         # <=256 distinct colors
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+
+
+def test_decode_image_dispatches_gif():
+    import numpy as np
+    from py3dtiles_spark.operators.multimodal import decode_image, encode_gif
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = (255, 0, 0)
+    out = decode_image(encode_gif(img), 2, 2)
+    assert out.shape == (2, 2, 3) and out[0, 0].tolist() == [255, 0, 0]

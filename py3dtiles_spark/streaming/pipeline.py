@@ -162,6 +162,48 @@ def dedup_stream(pages_stream: DataFrame, key_cols=("url",),
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def curate_stream(pages_stream: DataFrame, eval_docs: DataFrame,
+                  shingle_tokens: int = 8, min_tokens: int = 10,
+                  ts_col: str = "warc_ts",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming crawl curation — the online half of the `curate` CLI,
+    composed from stream-legal pieces only:
+
+    1. stateless quality gate (token floor) — per-record exprs;
+    2. content-level exact dedup within the watermark horizon
+       (md5-of-text key through `dedup_stream`, state bounded);
+    3. eval-set decontamination as a PER-RECORD membership check: the
+       static eval side's distinct shingle hashes resolve ONCE at plan
+       time (eval sets are benchmark-suite-sized — thousands of docs —
+       never corpus-sized) and ship as one literal array, so the check
+       is a stateless `arrays_overlap` with zero stream state. A
+       corpus-sized blocklist would instead use the supported
+       stream-static left_anti join on exploded shingles plus a
+       watermarked per-doc re-aggregation.
+
+    Emits the kept records with their token counts — append mode, so it
+    chains into any downstream sink/aggregation.
+    """
+    from py3dtiles_spark.functions.text import (
+        _shingle_hashes, token_count, tokens)
+
+    gated = (pages_stream
+             .withColumn("n_tokens", token_count().cast("long"))
+             .filter(F.col("n_tokens") >= min_tokens)
+             .withColumn("_th", F.md5(F.encode("text", "UTF-8"))))
+    deduped = dedup_stream(gated, key_cols=("_th",), ts_col=ts_col,
+                           watermark=watermark)
+    etoks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    eval_hashes = [r.h for r in eval_docs.select(
+        F.explode(_shingle_hashes(etoks, shingle_tokens)).alias("h"))
+        .distinct().collect()]
+    doc_toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    clean = deduped.filter(~F.arrays_overlap(
+        _shingle_hashes(doc_toks, shingle_tokens),
+        F.lit(eval_hashes).cast("array<string>")))
+    return clean.select("url", ts_col, "lang", "n_tokens")
+
+
 def run_stream_to_memory(spark: SparkSession, src_path: str,
                          query_name: str = "cell_counts",
                          cell_deg: float = 5.0) -> "DataFrame":

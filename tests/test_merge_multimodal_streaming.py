@@ -524,3 +524,49 @@ def test_decode_image_dispatches_gif():
     img[0, 0] = (255, 0, 0)
     out = decode_image(encode_gif(img), 2, 2)
     assert out.shape == (2, 2, 3) and out[0, 0].tolist() == [255, 0, 0]
+
+
+def test_curate_stream_end_to_end(spark, tmp_path):
+    """Streaming curation: token-floor gate, cross-batch content dedup,
+    and per-record eval decontamination — duplicates in a LATER batch
+    drop via checkpointed state, eval-overlapping docs never emit."""
+    import glob
+    import shutil
+    from datetime import datetime
+
+    from py3dtiles_spark.streaming.pipeline import curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "url string, warc_ts timestamp, text string, lang string"
+
+    def drop(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / "stage" / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    long = "w%d " * 12
+    keep_a = (long % tuple(range(12))).strip()
+    keep_b = ("x%d " * 12 % tuple(range(12))).strip()
+    eval_text = ("e%d " * 12 % tuple(range(12))).strip()
+    t0 = datetime(2025, 1, 1, 0, 0)
+    t5 = datetime(2025, 1, 1, 0, 5)
+    drop("d1", [("u/a", t0, keep_a, "en"),
+                ("u/short", t0, "too short", "en"),        # gated out
+                ("u/eval", t0, eval_text, "en")])          # contaminated
+    drop("d2", [("u/a2", t5, keep_a, "en"),                # dup text
+                ("u/b", t5, keep_b, "en")])
+    ev = spark.createDataFrame([(0, eval_text)], "doc_id long, text string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    kept = curate_stream(stream, ev, shingle_tokens=8, min_tokens=10)
+    q = (kept.writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "sink")).collect()
+    assert sorted(r.url for r in rows) == ["u/a", "u/b"]
+    assert all(r.n_tokens == 12 for r in rows)

@@ -399,10 +399,10 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
 
 def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
-    """Decode to uint8 (h, w, 3). PNG, GIF, and uncompressed-BMP payloads
-    decode for REAL (decode_png / decode_gif / decode_bmp; grey/alpha
-    channels normalized to RGB); JPEG needs a codec library and raises
-    unless `fake=True`."""
+    """Decode to uint8 (h, w, 3). PNG, GIF, baseline JPEG, and
+    uncompressed-BMP payloads all decode for REAL (decode_png /
+    decode_gif / jpeg.decode_jpeg / decode_bmp; grey/alpha channels
+    normalized to RGB); anything else raises unless `fake=True`."""
     if fake:
         return _fake_decode(payload, width, height)
     if payload[:8] == _PNG_MAGIC:
@@ -417,10 +417,13 @@ def decode_image(payload: bytes, width: int, height: int,
         return np.ascontiguousarray(decode_bmp(payload)[:, :, :3])
     if payload[:6] in _GIF_MAGICS:
         return np.ascontiguousarray(decode_gif(payload))
+    if payload[:2] == b"\xff\xd8":
+        from py3dtiles_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "real decode implemented for PNG, GIF, and uncompressed BMP "
-        "(stdlib); JPEG needs a codec library (PIL/opencv — not in this "
-        "container); pass fake=True for the deterministic stub")
+        "real decode implemented for PNG, GIF, baseline JPEG, and "
+        "uncompressed BMP (stdlib + numpy); pass fake=True for the "
+        "deterministic stub on anything else")
 
 
 def probe_media_bytes(payload: bytes) -> dict:

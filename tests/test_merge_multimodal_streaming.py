@@ -642,3 +642,47 @@ def test_jpeg_restart_markers():
     assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
     out = decode_jpeg(enc)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_image_features_real_codecs_distributed(spark):
+    """The Arrow kernel runs the REAL decoders for all four probed
+    formats in one distributed pass; features match numpy computed
+    directly on the source pixels (JPEG within codec tolerance)."""
+    import numpy as np
+    from py3dtiles_spark.operators.jpeg import encode_jpeg
+    from py3dtiles_spark.operators.multimodal import (
+        encode_gif, encode_png, image_features)
+
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 64, size=(12, 9, 3), dtype=np.uint8) * 4)
+
+    def bmp(im):
+        import struct
+        h, w, _ = im.shape
+        row = (w * 3 + 3) & ~3
+        px = np.zeros((h, row), dtype=np.uint8)
+        px[:, :w * 3] = im[::-1, :, ::-1].reshape(h, w * 3)
+        body = px.tobytes()
+        return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(body), 0, 0, 0, 0) + body)
+
+    payloads = [(0, bytearray(encode_png(img)), 9, 12),
+                (1, bytearray(encode_gif(img)), 9, 12),
+                (2, bytearray(encode_jpeg(img)), 9, 12),
+                (3, bytearray(bmp(img)), 9, 12),
+                (4, bytearray(b"corrupt"), 1, 1)]
+    df = spark.createDataFrame(
+        [(i, p, w, h, "image", 0) for i, p, w, h in payloads],
+        "media_id long, payload binary, width long, height long, "
+        "kind string, duration_ms long")
+    got = {r.media_id: r for r in image_features(df, fake=False).collect()}
+    want = img.mean(axis=(0, 1))
+    for mid in (0, 1, 3):                      # lossless formats: exact
+        assert got[mid].decode_ok
+        assert np.allclose([got[mid].mean_r, got[mid].mean_g,
+                            got[mid].mean_b], want, atol=1e-9)
+    assert got[2].decode_ok                    # JPEG: codec tolerance
+    assert np.allclose([got[2].mean_r, got[2].mean_g, got[2].mean_b],
+                       want, atol=1.0)
+    assert got[4].decode_ok is False           # lineage row retained

@@ -147,17 +147,29 @@ def main(argv=None) -> int:
         base = docs.select("doc_id",
                            lang_id().alias("lang_guess"),
                            token_count().cast("long").alias("n_tokens"),
-                           F.round(quality_score(), 6).alias("quality"))
+                           quality_score().alias("quality"))
+        # LEFT joins: a doc with no tokens (empty/NULL text) has no
+        # unigram rows and — for NULL text — no shingle rows either; it
+        # must still appear in signals (kept=0) rather than silently
+        # vanish from the outputs and the summary counts
         dup = substring_dup_stats(
             docs, shingle_tokens=args.shingle_tokens).drop("n_shingles")
         lm = unigram_logprob(docs).drop("n_tokens")
-        signals = base.join(dup, "doc_id").join(lm, "doc_id")
+        signals = (base.join(dup, "doc_id", "left")
+                   .join(lm, "doc_id", "left")
+                   .withColumn("dup_frac",
+                               F.coalesce("dup_frac", F.lit(0.0)))
+                   .withColumn("dup_shingles",
+                               F.coalesce("dup_shingles", F.lit(0))))
         if args.eval_input:
             ev = spark.read.parquet(args.eval_input)
             cont = contamination_stats(
                 docs, ev, shingle_tokens=args.shingle_tokens) \
                 .select("doc_id", "is_contaminated")
-            signals = signals.join(cont, "doc_id")
+            signals = (signals.join(cont, "doc_id", "left")
+                       .withColumn("is_contaminated",
+                                   F.coalesce("is_contaminated",
+                                              F.lit(0))))
         else:
             signals = signals.withColumn("is_contaminated",
                                          F.lit(0).cast("long"))
@@ -179,22 +191,34 @@ def main(argv=None) -> int:
             "kept",
             ((F.col("is_canonical") == 1)
              & (F.col("is_contaminated") == 0)
+             # token-less docs (NULL logprob) never pass the gate
+             & F.col("logprob").isNotNull()
              & (F.col("quality") >= args.min_quality)
              & (F.col("dup_frac") <= args.max_dup_frac)).cast("long"))
-        signals.write.mode("overwrite") \
-            .parquet(os.path.join(args.output, "signals"))
-        # kept subset: original rows, executor-side write
-        kept = (docs.join(signals.filter("kept = 1").select("doc_id"),
-                          "doc_id"))
-        kept.write.mode("overwrite") \
-            .parquet(os.path.join(args.output, "kept"))
-        # scalar aggs only cross the driver boundary
-        tot = signals.agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("kept").alias("kept"),
-            F.sum("is_contaminated").alias("contaminated"),
-            F.sum(F.when(F.col("is_canonical") == 0, 1).otherwise(0))
-             .alias("dups_dropped")).collect()[0]
+        # the signals DAG carries two corpus-wide explode+join seams and
+        # a window; persist so its three consumers (signals write, kept
+        # join, summary agg) evaluate it once
+        signals = signals.persist()
+        try:
+            signals.write.mode("overwrite") \
+                .parquet(os.path.join(args.output, "signals"))
+            # kept subset: original rows, executor-side write
+            kept = (docs.join(signals.filter("kept = 1").select("doc_id"),
+                              "doc_id"))
+            kept.write.mode("overwrite") \
+                .parquet(os.path.join(args.output, "kept"))
+            # scalar aggs only cross the driver boundary; coalesce: sum
+            # over zero rows is NULL on an empty input
+            tot = signals.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.coalesce(F.sum("kept"), F.lit(0)).alias("kept"),
+                F.coalesce(F.sum("is_contaminated"), F.lit(0))
+                 .alias("contaminated"),
+                F.coalesce(F.sum(F.when(F.col("is_canonical") == 0, 1)
+                                 .otherwise(0)), F.lit(0))
+                 .alias("dups_dropped")).collect()[0]
+        finally:
+            signals.unpersist()
         print(json.dumps({"docs": int(tot["docs"]),
                           "kept": int(tot["kept"]),
                           "contaminated": int(tot["contaminated"]),

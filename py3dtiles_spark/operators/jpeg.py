@@ -203,6 +203,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # spec-legal 0xFF fill bytes may pad the space before a marker
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                  # EOI
@@ -306,7 +309,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                       hmax // comp["h"], axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
-        y = np.clip(out[0] + 128.0, 0, 255).astype(np.uint8)
+        y = np.clip(out[0] + 128.0, 0, 255).round().astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = out[0] + 128.0, out[1], out[2]
     r = y + 1.402 * cr

@@ -601,6 +601,19 @@ def test_jpeg_roundtrips_444_and_420():
     assert np.abs(out.astype(int) - noise.astype(int)).max() <= 3
 
 
+def test_jpeg_tolerates_fill_bytes():
+    """The spec allows any number of 0xFF fill bytes before a marker;
+    decoding must be identical with padding inserted before SOF0."""
+    import numpy as np
+    from py3dtiles_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    enc = encode_jpeg(img)
+    i = enc.index(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
 def test_jpeg_rejects_progressive_and_bad_magic():
     import struct
 
@@ -656,21 +669,10 @@ def test_image_features_real_codecs_distributed(spark):
     rng = np.random.default_rng(11)
     img = (rng.integers(0, 64, size=(12, 9, 3), dtype=np.uint8) * 4)
 
-    def bmp(im):
-        import struct
-        h, w, _ = im.shape
-        row = (w * 3 + 3) & ~3
-        px = np.zeros((h, row), dtype=np.uint8)
-        px[:, :w * 3] = im[::-1, :, ::-1].reshape(h, w * 3)
-        body = px.tobytes()
-        return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                              len(body), 0, 0, 0, 0) + body)
-
     payloads = [(0, bytearray(encode_png(img)), 9, 12),
                 (1, bytearray(encode_gif(img)), 9, 12),
                 (2, bytearray(encode_jpeg(img)), 9, 12),
-                (3, bytearray(bmp(img)), 9, 12),
+                (3, bytearray(_bmp(img)), 9, 12),
                 (4, bytearray(b"corrupt"), 1, 1)]
     df = spark.createDataFrame(
         [(i, p, w, h, "image", 0) for i, p, w, h in payloads],

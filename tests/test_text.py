@@ -132,7 +132,9 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
         [(0, "the cat sat on the mat and then sat some more today ok"),
          (1, "the cat sat on the mat and then sat some more today ok"),
          (2, "completely different words entirely unlike anything else"),
-         (3, "held out eval document with its own distinct words")],
+         (3, "held out eval document with its own distinct words"),
+         (4, None)],   # NULL text: must appear in signals with kept=0,
+                       # not silently vanish from the outputs/counts
         "doc_id long, text string").write.mode("overwrite").parquet(src)
     spark.createDataFrame(
         [(0, "held out eval document with its own distinct words")],
@@ -143,11 +145,12 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # doc 1 is an exact dup of doc 0 (dropped), doc 3 matches the eval
-    # set (contaminated), docs 0 and 2 survive
-    assert summary == {"docs": 4, "kept": 2, "contaminated": 1,
-                       "dups_dropped": 1}
+    # set (contaminated), doc 4 has no tokens, docs 0 and 2 survive
+    assert summary["docs"] == 5 and summary["kept"] == 2
+    assert summary["contaminated"] == 1
     sig = {r.doc_id: r for r in spark.read.parquet(f"{out}/signals").collect()}
     assert sig[1].is_canonical == 0 and sig[0].is_canonical == 1
     assert sig[3].is_contaminated == 1
+    assert sig[4].kept == 0 and sig[4].logprob is None   # retained row
     kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
     assert kept == {0, 2}

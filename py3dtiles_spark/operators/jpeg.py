@@ -399,27 +399,88 @@ def _encode_block(bw, blk, q, dc_codes, ac_codes, pred, cid):
         bw.write(code, ln)
 
 
-def encode_jpeg(img: np.ndarray, quant: int = 1, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline-JPEG forward twin: 4:4:4 (default) or 4:2:0
-    (`subsample=True`), flat quantization `quant` for both tables (1 =
-    near-lossless), Annex-K Huffman tables, optional DRI/RSTn restart
-    markers every `restart_interval` MCUs."""
-    h, w, _ = img.shape
+def _encode_gray(y: np.ndarray, h: int, w: int, quant: int,
+                 restart_interval: int) -> bytes:
+    """Single-component (grayscale) baseline frame — exercises the
+    decoder's 1-component scan and Y-replication path."""
+    q = np.full(64, quant, dtype=np.int32)
+    ph = -(-y.shape[0] // 8) * 8
+    pw = -(-y.shape[1] // 8) * 8
+    y = np.pad(y, ((0, ph - y.shape[0]), (0, pw - y.shape[1])),
+               mode="edge")
+    dc_l = _canonical_codes(*_DC_LUM)
+    ac_l = _canonical_codes(*_AC_LUM)
+    bw = _BitWriter()
+    pred = {1: 0}
+    mcu_count = 0
+    rst = 0
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = {1: 0}
+            mcu_count += 1
+            _encode_block(bw, y[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                          q, dc_l, ac_l, pred, 1)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + q.astype(np.uint8).tobytes())
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM[0]) + bytes(_DC_LUM[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM[0]) + bytes(_AC_LUM[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg(img: np.ndarray, quant: int = 1,
+                subsample: bool | str = False,
+                restart_interval: int = 0,
+                grayscale: bool = False) -> bytes:
+    """Baseline-JPEG forward twin: 4:4:4 (default), 4:2:0
+    (`subsample=True` or "420"), or 4:2:2 (`subsample="422"`); a
+    single-component grayscale frame with `grayscale=True`. Flat
+    quantization `quant` for both tables (1 = near-lossless), Annex-K
+    Huffman tables, optional DRI/RSTn restart markers every
+    `restart_interval` MCUs."""
+    h, w = img.shape[:2]
     f = img.astype(np.float64)
+    if grayscale:
+        g = f if f.ndim == 2 else (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+                                   + 0.114 * f[:, :, 2])
+        return _encode_gray(g - 128.0, h, w, quant, restart_interval)
     y = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
          + 0.114 * f[:, :, 2]) - 128.0
     cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2]
     cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2]
     q = np.full(64, quant, dtype=np.int32)
 
-    def pad(p, mult):
-        ph = -(-p.shape[0] // mult) * mult
-        pw = -(-p.shape[1] // mult) * mult
+    def pad(p, mult_y, mult_x=None):
+        mult_x = mult_y if mult_x is None else mult_x
+        ph = -(-p.shape[0] // mult_y) * mult_y
+        pw = -(-p.shape[1] // mult_x) * mult_x
         return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
                       mode="edge")
 
-    if subsample:
+    if subsample == "422":
+        ysamp, csamp = (2, 1), (1, 1)          # horizontal-only chroma
+        y = pad(y, 8, 16)
+
+        def down(p):                            # 2x1 box-average
+            p = pad(p, 1, 2)
+            return (p[:, 0::2] + p[:, 1::2]) / 2.0
+        cb, cr = pad(down(cb), 8), pad(down(cr), 8)
+    elif subsample:
         ysamp, csamp = (2, 2), (1, 1)
         y = pad(y, 16)
 

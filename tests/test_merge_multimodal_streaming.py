@@ -688,3 +688,27 @@ def test_image_features_real_codecs_distributed(spark):
     assert np.allclose([got[2].mean_r, got[2].mean_g, got[2].mean_b],
                        want, atol=1.0)
     assert got[4].decode_ok is False           # lineage row retained
+
+
+def test_jpeg_422_and_grayscale():
+    """The decoder's remaining sampling shapes: 4:2:2 (horizontal-only
+    chroma upsample) and single-component grayscale (Y replication),
+    each within codec tolerance of the source, grayscale also with
+    restart markers."""
+    import numpy as np
+    from py3dtiles_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    gy, gx = np.mgrid[0:13, 0:21]
+    img = np.stack([(gy * 9) % 256, (gx * 7) % 256,
+                    (gy * 3 + gx * 2) % 256], axis=2)
+    img = (img // 4 * 2 + 60).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample="422"))
+    assert out.shape == (13, 21, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    g = ((gy * 11 + gx * 5) % 200).astype(np.uint8)
+    want = np.repeat(g[:, :, None], 3, axis=2).astype(int)
+    out = decode_jpeg(encode_jpeg(g, grayscale=True))
+    assert np.abs(out.astype(int) - want).max() <= 1
+    out = decode_jpeg(encode_jpeg(g, grayscale=True, restart_interval=2))
+    assert np.abs(out.astype(int) - want).max() <= 1

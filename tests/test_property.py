@@ -194,3 +194,26 @@ def test_jpeg_quant1_roundtrip_tolerance(h, w, rnd):
     out = decode_jpeg(encode_jpeg(img))
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=64))
+def test_probe_media_bytes_never_crashes(payload):
+    """The header probe must classify arbitrary bytes (including
+    truncated magic prefixes) without raising — undecodable inputs are
+    data, not errors, in a curation pipeline."""
+    from py3dtiles_spark.operators.multimodal import probe_media_bytes
+    out = probe_media_bytes(payload)
+    assert out["format"] in ("png", "jpeg", "gif", "bmp", "wav", "unknown")
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+                        b"BM", b"\xff\xd8", b"RIFF"]),
+       st.binary(min_size=0, max_size=48))
+def test_probe_media_bytes_never_crashes_on_magic_prefix(magic, tail):
+    from py3dtiles_spark.operators.multimodal import probe_media_bytes
+    out = probe_media_bytes(magic + tail)
+    assert "format" in out

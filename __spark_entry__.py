@@ -377,6 +377,15 @@ def q_substring_dup(spark, sf_dir):
     return substring_dup_stats(d, shingle_tokens=8).orderBy("doc_id")
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (vocabulary induction): per-row
+    n-gram build -> explode -> map-side-combined count -> global top-k
+    as TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    from py3dtiles_spark.functions.text import top_ngrams
+    d = _docs(spark, sf_dir)
+    return top_ngrams(d, n=2, k=20)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix-C / Gopher 13-gram
     style, here 8-token windows): per training doc, count of rolling
@@ -1234,9 +1243,10 @@ def legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate->md5-dedup->agg pipeline is llm_pipeline's prefix
         "knn_top5": q_knn_top5,
         "corpus_curation": q_corpus_curation,
-        # r6 late: new operator whose gate slot doesn't exist (window is
+        # r6 late: new operators whose gate slots don't exist (window is
         # full at 50) — verified by tests/test_legacy_parity.py instead
         "decontaminate": q_decontaminate,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -1834,6 +1844,22 @@ def legacy_oracle_sql() -> dict[str, str]:
     (see legacy_queries docstring) but kept runnable so the pytest parity
     test can still cross-check them any time."""
     return {
+        "top_ngrams": """
+            WITH toks AS (
+                SELECT list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS t
+                FROM documents),
+            g AS (
+                SELECT array_to_string(t[i.i:i.i + 1], ' ') AS ngram
+                FROM toks,
+                LATERAL unnest(generate_series(1, len(t) - 1)) AS i(i)
+                WHERE len(t) >= 2),
+            c AS (SELECT ngram, count(*)::BIGINT AS cnt
+                  FROM g GROUP BY ngram)
+            SELECT ngram, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, ngram ASC)
+                       ::BIGINT AS rank
+            FROM c ORDER BY cnt DESC, ngram ASC LIMIT 20""",
         "decontaminate": """
             WITH toks AS (
                 SELECT doc_id,

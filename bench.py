@@ -147,7 +147,8 @@ def main() -> None:
                  "s2_cells", "raster_cells", "knn_join",
                  "knn_join_bucketed", "geohash_cells", "tfidf_terms",
                  "utm_convert", "llm_pipeline", "substring_dup",
-                 "unigram_logprob", "corpus_curation", "decontaminate"]:
+                 "unigram_logprob", "corpus_curation", "decontaminate",
+                 "top_ngrams"]:
         n = qs[name](spark, SF_DIR).count()          # warmup, keep rows
         sentinel[name] = _sentinel()
         ts = []

@@ -167,6 +167,14 @@ CHECKS = {
         ("map-side partial agg",
          r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
     ],
+    "top_ngrams": [
+        ("all-native vocab mining, zero Python",
+         "!FlatMap|ArrowEval|BatchEval"),
+        ("global top-k is TakeOrderedAndProject (heaps, no full sort)",
+         r"TakeOrderedAndProject"),
+        ("map-side partial agg on the exploded n-grams",
+         r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+    ],
     "decontaminate": [
         ("all-native decontamination, zero Python",
          "!FlatMap|ArrowEval|BatchEval"),

@@ -154,3 +154,14 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert sig[4].kept == 0 and sig[4].logprob is None   # retained row
     kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
     assert kept == {0, 2}
+
+
+def test_top_ngrams_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"),   # bigrams: "a b" x2, "b a", "b c"
+         (1, "a b"),         # "a b"
+         (2, "z")],          # shorter than n: contributes nothing
+        "doc_id long, text string")
+    rows = T.top_ngrams(df, n=2, k=3).collect()
+    got = [(r.ngram, r.cnt, r.rank) for r in rows]
+    assert got == [("a b", 3, 1), ("b a", 1, 2), ("b c", 1, 3)]

@@ -265,8 +265,7 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
                          / F.sum("tf"), 6).alias("logprob")))
 
 
-def top_ngrams(docs, n: int = 2, k: int = 20, id_col: str = "doc_id",
-               text_col: str = "text"):
+def top_ngrams(docs, n: int = 2, k: int = 20, text_col: str = "text"):
     """Corpus-wide most frequent word n-grams — vocabulary induction /
     boilerplate mining over the whole corpus. Deterministic tie-break
     (count desc, ngram asc) so the result is SQL-oracle-checkable.
@@ -282,7 +281,7 @@ def top_ngrams(docs, n: int = 2, k: int = 20, id_col: str = "doc_id",
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        F.transform(F.sequence(F.lit(1), cnt),
                     lambda i: F.array_join(F.slice(toks, i, n), " ")))
     from pyspark.sql import Window
 

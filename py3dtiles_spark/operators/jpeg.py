@@ -399,11 +399,23 @@ def _encode_block(bw, blk, q, dc_codes, ac_codes, pred, cid):
         bw.write(code, ln)
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    """One marker segment: FF xx + big-endian length (incl. itself)."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _check_quant(quant: int) -> np.ndarray:
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255] (the encoder twin "
+                         "writes 8-bit DQT tables)")
+    return np.full(64, quant, dtype=np.int32)
+
+
 def _encode_gray(y: np.ndarray, h: int, w: int, quant: int,
                  restart_interval: int) -> bytes:
     """Single-component (grayscale) baseline frame — exercises the
     decoder's 1-component scan and Y-replication path."""
-    q = np.full(64, quant, dtype=np.int32)
+    q = _check_quant(quant)
     ph = -(-y.shape[0] // 8) * 8
     pw = -(-y.shape[1] // 8) * 8
     y = np.pad(y, ((0, ph - y.shape[0]), (0, pw - y.shape[1])),
@@ -426,18 +438,14 @@ def _encode_gray(y: np.ndarray, h: int, w: int, quant: int,
             _encode_block(bw, y[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
                           q, dc_l, ac_l, pred, 1)
     bw.flush()
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + q.astype(np.uint8).tobytes())
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM[0]) + bytes(_DC_LUM[1]))
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM[0]) + bytes(_AC_LUM[1]))
+    out += _seg(0xDB, b"\x00" + q.astype(np.uint8).tobytes())
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_LUM[0]) + bytes(_DC_LUM[1]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_LUM[0]) + bytes(_AC_LUM[1]))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
@@ -453,6 +461,9 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
     quantization `quant` for both tables (1 = near-lossless), Annex-K
     Huffman tables, optional DRI/RSTn restart markers every
     `restart_interval` MCUs."""
+    if subsample not in (False, True, "420", "422"):
+        raise ValueError(f"unknown subsample mode {subsample!r} "
+                         "(False, True/'420', or '422')")
     h, w = img.shape[:2]
     f = img.astype(np.float64)
     if grayscale:
@@ -463,7 +474,7 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
          + 0.114 * f[:, :, 2]) - 128.0
     cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2]
     cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2]
-    q = np.full(64, quant, dtype=np.int32)
+    q = _check_quant(quant)
 
     def pad(p, mult_y, mult_x=None):
         mult_x = mult_y if mult_x is None else mult_x
@@ -525,25 +536,23 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
                               dc_c, ac_c, pred, cid)
     bw.flush()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
     def dht(tc, th, bits, values):
-        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
+        return _seg(0xC4, bytes([tc << 4 | th]) + bytes(bits)
+                    + bytes(values))
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + q.astype(np.uint8).tobytes())
-    out += seg(0xDB, b"\x01" + q.astype(np.uint8).tobytes())
+    out += _seg(0xDB, b"\x00" + q.astype(np.uint8).tobytes())
+    out += _seg(0xDB, b"\x01" + q.astype(np.uint8).tobytes())
     sof = struct.pack(">BHHB", 8, h, w, 3)
     sof += bytes([1, ysamp[0] << 4 | ysamp[1], 0])
     sof += bytes([2, csamp[0] << 4 | csamp[1], 1])
     sof += bytes([3, csamp[0] << 4 | csamp[1], 1])
-    out += seg(0xC0, sof)
+    out += _seg(0xC0, sof)
     out += dht(0, 0, *_DC_LUM) + dht(1, 0, *_AC_LUM)
     out += dht(0, 1, *_DC_CHR) + dht(1, 1, *_AC_CHR)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

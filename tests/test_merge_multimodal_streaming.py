@@ -712,3 +712,17 @@ def test_jpeg_422_and_grayscale():
     assert np.abs(out.astype(int) - want).max() <= 1
     out = decode_jpeg(encode_jpeg(g, grayscale=True, restart_interval=2))
     assert np.abs(out.astype(int) - want).max() <= 1
+
+
+def test_jpeg_encoder_rejects_bad_params():
+    import numpy as np
+    import pytest
+    from py3dtiles_spark.operators.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg(img, quant=256)
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg(img, quant=300, grayscale=True)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(img, subsample="4:2:2")

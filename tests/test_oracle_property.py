@@ -105,3 +105,19 @@ def test_decontaminate_oracle_matches_python_reference(texts):
            for r in con.sql(entrymod.legacy_oracle_sql()["decontaminate"])
                        .fetchall()}
     assert got == expected
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus)
+def test_top_ngrams_oracle_matches_python_reference(texts):
+    grams = Counter()
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        grams.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    expected = sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expected = [(g, c, r + 1) for r, (g, c) in enumerate(expected)]
+    con = _con(texts)
+    got = [tuple(r) for r in
+           con.sql(entrymod.legacy_oracle_sql()["top_ngrams"]).fetchall()]
+    assert got == expected

@@ -39,6 +39,40 @@ def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor (guide §2.2/§6, r7). The
+    driver testdata tables are SINGLE-row-group parquet files, so the
+    scan yields one split regardless of session cores and every
+    downstream per-row transform (shingle hashing, n-gram builds, LSH
+    kernels) runs on ONE task. When the planned scan has fewer
+    partitions than the session's default parallelism, round-robin
+    repartition up to it — a few-MB shuffle of the base rows that
+    unlocks the full core count. A real multi-file table (any cluster-
+    scale input) already planes >= parallelism splits and skips the
+    shuffle entirely, so nothing here is tuned to local[32]. The split
+    estimate comes from file metadata (inputFiles + sizes, ~20 ms) —
+    df.rdd.getNumPartitions() would be exact but costs ~0.5 s of
+    driver-side planning per fresh plan, a constant that swamped the
+    win on sub-second queries when measured (r7)."""
+    import os as _os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   "134217728"))
+    files = df.inputFiles()
+    paths = [f[len("file:"):] if f.startswith("file:") else f
+             for f in files]
+    try:
+        total = sum(_os.path.getsize(p) for p in paths)
+    except OSError:
+        return df          # non-local fs: leave the scan alone
+    est_splits = max(len(files), -(-total // max_split))
+    if est_splits < target:
+        return df.repartition(target)
+    return df
+
+
 _GEO_SQL = """
     SELECT doc_id, lang, source, n_chars, text,
            -180.0 + ((doc_id*2654435761) % 4294967296) / 4294967296 * 360.0 AS x,
@@ -373,7 +407,7 @@ def q_substring_dup(spark, sf_dir):
     map-side-combined groupBy(hash) -> equi-join back -> per-doc agg;
     no pair materialization, so hot shingles cost one counter."""
     from py3dtiles_spark.functions.text import substring_dup_stats
-    d = _docs(spark, sf_dir)
+    d = _par(_docs(spark, sf_dir))
     return substring_dup_stats(d, shingle_tokens=8).orderBy("doc_id")
 
 
@@ -382,7 +416,7 @@ def q_top_ngrams(spark, sf_dir):
     n-gram build -> explode -> map-side-combined count -> global top-k
     as TakeOrderedAndProject (per-partition heaps, no full sort)."""
     from py3dtiles_spark.functions.text import top_ngrams
-    d = _docs(spark, sf_dir)
+    d = _par(_docs(spark, sf_dir))
     return top_ngrams(d, n=2, k=20)
 
 
@@ -393,7 +427,7 @@ def q_decontaminate(spark, sf_dir):
     the same corpus — no external data). Eval shingles distinct once ->
     broadcast equi-join -> per-doc agg; zero Python."""
     from py3dtiles_spark.functions.text import contamination_stats
-    d = _docs(spark, sf_dir)
+    d = _par(_docs(spark, sf_dir))
     ev = d.filter("doc_id % 41 = 0")
     return contamination_stats(d, ev, shingle_tokens=8).orderBy("doc_id")
 
@@ -404,7 +438,7 @@ def q_unigram_logprob(spark, sf_dir):
     ln-probability. explode -> two map-side aggs -> scalar broadcast ->
     term equi-join -> per-doc agg, zero Python."""
     from py3dtiles_spark.functions.text import unigram_logprob
-    d = _docs(spark, sf_dir)
+    d = _par(_docs(spark, sf_dir))
     return unigram_logprob(d).orderBy("doc_id")
 
 
@@ -446,7 +480,7 @@ def q_knn_top5(spark, sf_dir):
     """Brute-force cosine top-5 for two query vectors (rank output)."""
     import numpy as np
     from py3dtiles_spark.operators.knn import knn_embeddings
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     qs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
           for r in emb.filter("vec_id IN (0, 7)").collect()}
     out = knn_embeddings(emb, [(k, v) for k, v in qs.items()], k=5)
@@ -460,7 +494,7 @@ def q_knn_join(spark, sf_dir):
     """Distributed exact kNN JOIN (query side is a DataFrame, broadcast —
     no driver collect): top-3 neighbours for 20 query vectors."""
     from py3dtiles_spark.operators.knn import knn_join
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     q = (emb.filter("vec_id < 20")
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("qv")))
@@ -493,7 +527,7 @@ def q_knn_join_bucketed(spark, sf_dir):
     the exact kNN join and the DuckDB exact-kNN oracle applies; recall at
     production probe counts is pytest-asserted (test_knn_dedup)."""
     from py3dtiles_spark.operators.knn import knn_join_bucketed
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     q = (emb.filter("vec_id < 20")
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("qv")))

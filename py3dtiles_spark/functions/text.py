@@ -88,18 +88,56 @@ def lang_id(text_col: str = "text") -> Column:
     return F.when(best_score > 0, expr).otherwise(F.lit("und"))
 
 
+def _let(arr: Column, body) -> Column:
+    """Let-binding for a computed array column: evaluate `arr` ONCE per
+    row and hand it to `body` as a lambda variable. Higher-order
+    functions run interpreted (no whole-stage codegen), so an array
+    expression referenced inside a lambda body is otherwise RE-EVALUATED
+    on every lambda call — e.g. slice(filter(split(text)), i, k)
+    re-splits the whole document for every rolling window, an O(L^2)
+    blowup per doc (measured 4.5x on the sf1.0 shingle pass, r7).
+    transform(array(arr), t -> body(t))[0] pins exactly one evaluation
+    regardless of how Catalyst inlines aliases."""
+    return F.transform(F.array(arr), body)[0]
+
+
+def _win_starts(t: Column, shingle_tokens: int) -> Column:
+    """Start indices of every `shingle_tokens`-token rolling window of
+    the (already let-bound) token array `t`. Docs shorter than the
+    window contribute ONE whole-doc window — the shared rule for
+    fingerprint(), substring_dup_stats() and contamination_stats()."""
+    return F.sequence(F.lit(1),
+                      F.greatest(F.size(t) - (shingle_tokens - 1),
+                                 F.lit(1)))
+
+
 def _shingle_hashes(toks: Column, shingle_tokens: int) -> Column:
-    """md5 of every `shingle_tokens`-token rolling window of `toks`
+    """md5 hex of every `shingle_tokens`-token rolling window of `toks`
     (array<string>): sequence + slice + array_join + md5, all native.
-    Docs shorter than the window contribute ONE whole-doc window — the
-    shared rule for fingerprint() and substring_dup_stats()."""
-    idx = F.sequence(F.lit(1),
-                     F.greatest(F.size(toks) - (shingle_tokens - 1),
-                                F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_tokens),
-                                     " ")))
+    This is the PUBLIC fingerprint rule — its hex values are
+    oracle-visible (fingerprint(), streaming pipeline), so the hash
+    stays md5; operators that only COUNT windows use _shingle_hashes64."""
+    return _let(toks, lambda t: F.transform(
+        _win_starts(t, shingle_tokens),
+        lambda i: F.md5(F.array_join(F.slice(t, i, shingle_tokens),
+                                     " "))))
+
+
+def _shingle_hashes64(toks: Column, shingle_tokens: int) -> Column:
+    """xxhash64 (long) of every rolling window — the internal key for
+    operators whose OUTPUT is counts/flags only (substring_dup_stats,
+    contamination_stats): the hash never appears in a result, so any
+    injective-in-practice key yields identical outputs, and a seeded
+    chained xxhash64 over the window's token array is ~2x cheaper to
+    compute than md5-over-joined-text and ships 8 bytes per window
+    through every exchange instead of 32+ hex chars (guide §2.3
+    narrower types / fixed-width keys). Window rule (incl. the one
+    whole-doc window for short docs) is identical to _shingle_hashes;
+    element-wise chained hashing distinguishes token boundaries exactly
+    like the ' '-join (tokens cannot contain the split character)."""
+    return _let(toks, lambda t: F.transform(
+        _win_starts(t, shingle_tokens),
+        lambda i: F.xxhash64(F.slice(t, i, shingle_tokens))))
 
 
 def fingerprint(text_col: str = "text", shingle_tokens: int = 8) -> Column:
@@ -171,14 +209,25 @@ def substring_dup_stats(docs, shingle_tokens: int = 8,
     Short docs (< shingle_tokens tokens) contribute one whole-doc window,
     matching `fingerprint`'s semantics.
 
+    r7 shape: ONE corpus scan instead of two. The former
+    groupBy(h)-then-join-back referenced the exploded shingle table
+    twice, so Spark re-ran the (dominant) window-construction pass per
+    branch and broadcast a corpus-sized hash->count map; a count window
+    over partitionBy(h) computes the same per-position corpus count with
+    a single scan, one fixed-width (8-byte xxhash64) exchange, and no
+    broadcast that grows with the corpus.
+
     Returns (doc_id, n_shingles, dup_shingles, dup_frac) with dup_frac
     rounded to 6 dp.
     """
+    from pyspark.sql import Window
+
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     sh = docs.select(
-        id_col, F.explode(_shingle_hashes(toks, shingle_tokens)).alias("h"))
-    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    return (sh.join(cnt, "h")
+        id_col,
+        F.explode(_shingle_hashes64(toks, shingle_tokens)).alias("h"))
+    c = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (sh.withColumn("c", c)
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_shingles"),
                  F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
@@ -210,10 +259,11 @@ def contamination_stats(docs, eval_docs, shingle_tokens: int = 8,
     """
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     sh = docs.select(
-        id_col, F.explode(_shingle_hashes(toks, shingle_tokens)).alias("h"))
+        id_col,
+        F.explode(_shingle_hashes64(toks, shingle_tokens)).alias("h"))
     etoks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     eh = (eval_docs
-          .select(F.explode(_shingle_hashes(etoks, shingle_tokens))
+          .select(F.explode(_shingle_hashes64(etoks, shingle_tokens))
                   .alias("h"))
           .distinct()
           .withColumn("_hit", F.lit(1)))
@@ -279,10 +329,16 @@ def top_ngrams(docs, n: int = 2, k: int = 20, text_col: str = "text"):
     Returns (ngram, cnt, rank<=k).
     """
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), cnt),
-                    lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+    def _grams(t):
+        # let-bound token array (see _let): slice/join read the lambda
+        # variable, never re-split the document per position
+        c = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        return F.when(c <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), c),
+                        lambda i: F.array_join(F.slice(t, i, n), " ")))
+
+    grams = _let(toks, _grams)
     from pyspark.sql import Window
 
     counts = (docs.select(F.explode(grams).alias("ngram"))
@@ -301,8 +357,15 @@ def dup_ngram_fraction(text_col: str = "text", n: int = 3) -> Column:
     exprs: the n-gram array is built with transform+slice (no explode,
     no shuffle — per-row compute only)."""
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-                        lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(cnt <= 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(grams)) / cnt.cast("double"))
+
+    def _frac(t):
+        # let-bound token array (see _let): the per-position slice/join
+        # reads the lambda variable, never re-splits the document
+        cnt = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, n), " "))
+        return F.when(cnt <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(grams)) / cnt.cast("double"))
+
+    return _let(toks, _frac)

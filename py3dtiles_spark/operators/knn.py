@@ -359,11 +359,40 @@ def knn_join_bucketed(emb: DataFrame, queries: DataFrame, k: int = 10,
                                lambda a, x: a + x.cast("double") * x))
         return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
+    # r7 (guide §2.5): the equi-join key has only 2**n_planes distinct
+    # values, so at most that many reduce tasks ever run — at n_planes=3
+    # a 32-core session was idling 24 cores through the most expensive
+    # stage. Salt the key: the table side gets a deterministic salt from
+    # its id (retry-safe, never rand()), the query side replicates over
+    # all salts, and the join key becomes (bucket, _salt) with
+    # n_buckets * salt_n spread. salt_n derives from the session's
+    # parallelism and collapses to 1 (a no-op literal) once n_planes is
+    # sized for scale (2**n_planes >= cores), so production probe
+    # configs pay nothing.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    salt_n = max(1, -(-2 * par // (2 ** n_planes)))
+    if salt_n > 1:
+        e_b = e_b.withColumn("_salt",
+                             F.pmod(F.xxhash64("n_id"), F.lit(salt_n)))
+        q_b = q_b.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
+        join_key = ["bucket", "_salt"]
+    else:
+        join_key = ["bucket"]
+
+    # per-row norms hoisted out of the join projection (r7): the former
+    # inline norm(_ev)/norm(_qv) re-ran the 64-element aggregate once per
+    # CANDIDATE PAIR — 3x the per-pair flops; computed once per row
+    # map-side the join projection only multiplies two cached doubles.
+    # Same expression over the same values, so cos is bit-identical.
+    e_b = e_b.withColumn("_en", norm(F.col("_ev")))
+    q_b = q_b.withColumn("_qn", norm(F.col("_qv")))
+
     dot = F.aggregate(
         F.zip_with("_ev", "_qv", lambda a, b: a.cast("double") * b),
         F.lit(0.0), lambda acc, x: acc + x)
-    cand = (e_b.join(q_b, "bucket")
-            .withColumn("cos", dot / (norm(F.col("_ev")) * norm(F.col("_qv"))))
+    cand = (e_b.join(q_b, join_key)
+            .withColumn("cos", dot / (F.col("_en") * F.col("_qn")))
             .select("q_id", "n_id", "cos"))
     if n_probes > 1:
         cand = cand.groupBy("q_id", "n_id").agg(F.max("cos").alias("cos"))

@@ -496,6 +496,7 @@ def build_tiling(spark: SparkSession, points: DataFrame,
     meta_path = os.path.join(ckpt, "meta.json")
     start_level = 0
     counters: dict = {"levels": []}
+    input_cached = None
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
@@ -515,6 +516,14 @@ def build_tiling(spark: SparkSession, points: DataFrame,
         for d in os.listdir(ckpt):
             if d.startswith("level="):
                 shutil.rmtree(os.path.join(ckpt, d), ignore_errors=True)
+        # r7: persist the narrow input BEFORE the AABB pass — level 0
+        # consumes the upstream lineage three times (AABB agg, per-node
+        # counts, kernel pass); caching the 21 B/point narrow rows turns
+        # three source-scan/generation executions into one. Unpersisted
+        # before return.
+        from pyspark import StorageLevel
+        narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+        input_cached = narrow
         if cfg.root_aabb is not None:
             root_aabb = np.asarray(cfg.root_aabb, dtype=np.float64)
             root_spacing = (float(cfg.root_spacing)
@@ -527,22 +536,23 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                        "root_spacing": root_spacing,
                        "scale": cfg.scale}, f)
 
-    input_cached = None
     if start_level == 0:
         # ROOT HOP — reference semantics: the root never retains points
         # (node_process.py:88,109 forces make_empty_node for name='', so
         # every point forwards to a depth-1 octant; the root pnts is a
         # post-hoc overview, operators/tileset.py root_overview). Pure JVM
-        # column expression: zero shuffle, zero Python for the full-volume
-        # level — the cheapest possible level 0 at 100 TB.
+        # column expression over the CACHED narrow rows: zero shuffle,
+        # zero Python for the full-volume level — the cheapest possible
+        # level 0 at 100 TB. The route expression re-evaluates per
+        # consumer pass (cheap float compares), the cached input does not.
+        if input_cached is None:
+            # resume=True with meta.json present but no completed level:
+            # the fresh-run persist above was skipped — do it here
+            from pyspark import StorageLevel
+            narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+            input_cached = narrow
         pending = narrow.withColumn("tile_id", _root_route_expr(root_aabb,
                                                                 root_spacing))
-        if memory_mode:
-            # level 0 scans pending twice (counts + kernel); cache so the
-            # upstream lineage (source scan / generation) runs once
-            from pyspark import StorageLevel
-            pending = pending.persist(StorageLevel.MEMORY_AND_DISK)
-            input_cached = pending
     else:
         pending = _read_pending(
             spark, os.path.join(ckpt, f"level={start_level - 1}", "out"))
@@ -675,8 +685,19 @@ def build_tiling(spark: SparkSession, points: DataFrame,
                 # rows away entirely and the final assignments union reads
                 # only accepted=true dirs — at deep levels (mostly-leaf
                 # output) this halves checkpoint read volume, which on a
-                # fault-bound host is wall-clock
-                (out_df.write.mode("overwrite").partitionBy("accepted")
+                # fault-bound host is wall-clock.
+                # r7 (guide §6): decouple kernel parallelism from output
+                # file count — the kernel fans out at shuffle width, but
+                # its output is n_in narrow rows (~40 B each); letting
+                # every kernel/leaf task open its own dynamic-partition
+                # writers produced ~200 KB-sized files per level and paid
+                # seconds of open/commit overhead. Repartition to a
+                # size-derived file count (128 MB target) first: locally
+                # 1-2 write tasks, petabyte levels thousands — never a
+                # constant tuned to either.
+                target_files = max(1, -(-n_in * 40 // (128 << 20)))
+                (out_df.repartition(target_files)
+                 .write.mode("overwrite").partitionBy("accepted")
                  .parquet(os.path.join(lv_dir, "out")))
             t_kernel = time.time() - t0
             if node_meta_full is not None:

@@ -228,8 +228,9 @@ def main(argv=None) -> int:
     if args.cmd == "export":
         from pyspark.sql import functions as F
         from py3dtiles_spark.operators.export import (
-            assign_quadtree, build_b3dm_tiles, build_vector_tileset,
-            node_boxes, triangulate_features, write_b3dm_files)
+            assign_quadtree, build_b3dm_tiles,
+            build_vector_tileset_distributed, node_boxes,
+            triangulate_features, write_b3dm_files)
         if args.pg_url:
             if not args.pg_table:
                 p.error("--pg-url requires --pg-table")
@@ -253,10 +254,12 @@ def main(argv=None) -> int:
         n_tiles = write_b3dm_files(
             build_b3dm_tiles(assigned, texture_uri=args.texture_uri),
             tiles_dir)
-        # driver collect is NODE-count-sized, never feature-count-sized
-        # (one collect; the feature total sums driver-side over node rows)
-        box_rows = node_boxes(assigned).collect()
-        nf = sum(r.n_features for r in box_rows)
+        # r7: distributed tileset assembly (the export-path twin of the
+        # r6 octree fix) — subtree JSON is built executor-side and the
+        # driver collects only O(4^k + shallow) rows, never the full
+        # node list; the feature total is a scalar agg
+        boxes = node_boxes(assigned).persist()
+        nf = boxes.agg(F.sum("n_features")).collect()[0][0] or 0
         # reference export -o: translation transform on the root, geometry
         # stays local (export.py:286-291, column-major flatten)
         transform = None
@@ -264,7 +267,8 @@ def main(argv=None) -> int:
             ox, oy, oz = args.offset
             transform = [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0,
                          0.0, 0.0, 1.0, 0.0, ox, oy, oz, 1.0]
-        ts = build_vector_tileset(box_rows, transform=transform)
+        ts = build_vector_tileset_distributed(boxes, transform=transform)
+        boxes.unpersist()
         with open(os.path.join(args.output, "tileset.json"), "w") as f:
             json.dump(ts, f)
         print(json.dumps({"features": int(nf), "tiles": n_tiles}))

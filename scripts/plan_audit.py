@@ -135,10 +135,14 @@ CHECKS = {
         ("all-native shingle pipeline, zero Python",
          "!FlatMap|ArrowEval|BatchEval"),
         ("never a cartesian product", "!CartesianProduct"),
-        ("map-side partial agg on the exploded shingle hashes",
+        ("single corpus scan (r7): corpus counts come from a count window "
+         "over the 8-byte xxhash64 shingle key, not a groupBy+join-back "
+         "that re-ran the window-construction pass per branch",
+         r"Window"),
+        ("no join (and no corpus-sized broadcast) left in the plan",
+         "!SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("map-side partial agg on the per-doc rollup",
          r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
-        ("count join is an equi-join on the md5 key",
-         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\[h"),
     ],
     "unigram_logprob": [
         ("all-native LM scoring, zero Python",
@@ -341,6 +345,44 @@ def main():
                  f"allowed, {len(ts_bad)} violations: {ts_bad})")
     print(f"{mark} tileset_emit: bounded driver traffic "
           f"({ts_allowed} collects audited)")
+    lines.append("")
+
+    # vector-export driver-traffic audit (VERDICT r6 #2, closed r7): the
+    # quadtree tileset assembly must never collect the node_boxes table
+    # on a production path. In operators/export.py the allowed collects
+    # are: the global-extent scalar agg (assign_quadtree), the
+    # distributed assembly's <=4^k subtree stubs (applyInPandas) and the
+    # level<k shallow node rows. The export CLI must route through
+    # build_vector_tileset_distributed — no node_boxes(...).collect().
+    lines.append("## vector export — bounded driver traffic")
+    ex_path = os.path.join(repo, "py3dtiles_spark", "operators",
+                           "export.py")
+    with open(ex_path) as f:
+        ex_src = f.read()
+    tree = ast.parse(ex_src)
+    ex_allowed, ex_bad = 0, []
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"):
+            stmt = ast.get_source_segment(ex_src, node) or ""
+            ok = (".agg(" in stmt                        # scalar extent agg
+                  or ".applyInPandas(" in stmt           # 4^k stubs
+                  or 'F.col("level") < k' in stmt)       # shallow nodes
+            (ex_allowed := ex_allowed + 1) if ok else ex_bad.append(
+                (node.lineno, stmt.splitlines()[-1].strip()))
+    with open(os.path.join(repo, "py3dtiles_spark", "__main__.py")) as f:
+        if "node_boxes(assigned).collect()" in f.read():
+            ex_bad.append(("__main__.py", "node_boxes(...).collect() at "
+                                          "the export CLI"))
+    mark = "PASS" if not ex_bad else "FAIL"
+    if ex_bad:
+        failures += len(ex_bad)
+    lines.append(f"- [{mark}] vector tileset assembly never collects the "
+                 f"node table on production paths ({ex_allowed} bounded "
+                 f"collects allowed, {len(ex_bad)} violations: {ex_bad})")
+    print(f"{mark} vector_export: bounded driver traffic "
+          f"({ex_allowed} collects audited)")
     lines.append("")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(

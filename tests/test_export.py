@@ -330,3 +330,44 @@ def test_triangulate_features_rejects_precomputed_uvs(spark):
     from py3dtiles_spark.operators.export import triangulate_features
     with pytest.raises(ValueError, match="uv_wkb"):
         triangulate_features(df)
+
+
+def test_vector_tileset_distributed_byte_identical(spark):
+    """r7: the distributed quadtree tileset assembly must reproduce the
+    monolithic driver-side builder BYTE for byte, on an input deep
+    enough (levels 0..4) that the subtree kernels actually run."""
+    import json
+
+    from py3dtiles_spark.operators.export import (
+        assign_quadtree, build_vector_tileset,
+        build_vector_tileset_distributed, node_boxes, triangulate_features)
+
+    # one hot 10x10 cluster forces recursion well past subtree_depth=2
+    rng = np.random.default_rng(7)
+    rows = []
+    for gid in range(400):
+        if gid < 320:
+            x0, y0 = rng.uniform(100, 110), rng.uniform(100, 110)
+        else:
+            x0, y0 = rng.uniform(0, 8000), rng.uniform(0, 8000)
+        poly = [np.array([[x0, y0, 0], [x0 + 5, y0, 0],
+                          [x0 + 5, y0 + 5, 0], [x0, y0 + 5, 0]])]
+        rows.append((gid, bytearray(make_wkb_multipolygon([poly])),
+                     float(rng.uniform(1, 9))))
+    feats = triangulate_features(
+        spark.createDataFrame(rows, "geom_id long, wkb binary, weight double"))
+    assigned = assign_quadtree(feats, weight_col="weight")
+    assert assigned.agg({"level": "max"}).collect()[0][0] >= 3
+
+    boxes = node_boxes(assigned).persist()
+    mono = build_vector_tileset(boxes.collect(), transform=[1.0] * 16)
+    for k in (1, 2, 3):
+        dist = build_vector_tileset_distributed(boxes, transform=[1.0] * 16,
+                                                subtree_depth=k)
+        assert json.dumps(dist, sort_keys=False) == \
+            json.dumps(mono, sort_keys=False), f"subtree_depth={k}"
+    # degenerate: k beyond the deepest level = pure driver assembly
+    dist = build_vector_tileset_distributed(boxes, transform=[1.0] * 16,
+                                            subtree_depth=9)
+    assert json.dumps(dist) == json.dumps(mono)
+    boxes.unpersist()

@@ -19,7 +19,11 @@ import __spark_entry__ as entrymod
 # never diverge from what scripts/check_oracle.py actually applies
 from check_oracle import TABLES, normalize as _normalize
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 keeps the suite cheap; the bench session re-runs this
+# file at sf0.1 via the env override (VERDICT r6 #5: rotation must never
+# silently hide a regression at bench scale) — recorded in BENCH.md
+SF_DIR = os.environ.get("SPARK_GRAFT_LEGACY_SF_DIR",
+                        "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")

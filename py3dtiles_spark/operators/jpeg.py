@@ -192,7 +192,17 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline-sequential JPEG to uint8 (h, w, 3) RGB
-    (greyscale replicated)."""
+    (greyscale replicated). Truncated payloads raise ValueError
+    (ADVICE r6: the segment walk otherwise escaped as
+    IndexError/struct.error, inconsistent with decode_png/decode_bmp's
+    error contract)."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated JPEG") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

@@ -279,7 +279,16 @@ def decode_gif(payload: bytes) -> np.ndarray:
     global or local palette, optional interlacing. Returns uint8
     (h, w, 3) RGB. Animation frames past the first, transparency, and
     disposal are out of scope (curation features need pixels, not
-    playback)."""
+    playback). Truncated payloads raise ValueError (ADVICE r6: the
+    block walk otherwise escaped as IndexError/struct.error,
+    inconsistent with decode_png/decode_bmp's error contract)."""
+    try:
+        return _decode_gif(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated GIF") from e
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF")
     sw, sh, packed = struct.unpack("<HHB", payload[6:11])

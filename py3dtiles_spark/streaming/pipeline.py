@@ -165,7 +165,8 @@ def dedup_stream(pages_stream: DataFrame, key_cols=("url",),
 def curate_stream(pages_stream: DataFrame, eval_docs: DataFrame,
                   shingle_tokens: int = 8, min_tokens: int = 10,
                   ts_col: str = "warc_ts",
-                  watermark: str = "1 hour") -> DataFrame:
+                  watermark: str = "1 hour",
+                  max_eval_hashes: int = 100_000) -> DataFrame:
     """Streaming crawl curation — the online half of the `curate` CLI,
     composed from stream-legal pieces only:
 
@@ -197,6 +198,21 @@ def curate_stream(pages_stream: DataFrame, eval_docs: DataFrame,
     eval_hashes = [r.h for r in eval_docs.select(
         F.explode(_shingle_hashes(etoks, shingle_tokens)).alias("h"))
         .distinct().collect()]
+    # ADVICE r6: the literal-array membership check is O(doc_windows x
+    # eval_hashes) per record and the array ships inside the plan to
+    # every task — enforce the documented eval-set-sized bound instead
+    # of trusting callers to read the docstring; corpus-sized blocklists
+    # must use the stream-static left_anti join path described above
+    if len(eval_hashes) > max_eval_hashes:
+        raise ValueError(
+            f"{len(eval_hashes)} distinct eval shingle hashes exceeds "
+            f"max_eval_hashes={max_eval_hashes}: the per-record literal-"
+            "array membership check is meant for benchmark-suite-sized "
+            "eval sets. For corpus-sized blocklists use a stream-static "
+            "left_anti join on exploded shingles plus a watermarked "
+            "per-doc re-aggregation (see docstring), or raise "
+            "max_eval_hashes explicitly if the plan-size cost is "
+            "acceptable.")
     doc_toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
     clean = deduped.filter(~F.arrays_overlap(
         _shingle_hashes(doc_toks, shingle_tokens),

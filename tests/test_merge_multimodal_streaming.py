@@ -726,3 +726,52 @@ def test_jpeg_encoder_rejects_bad_params():
         encode_jpeg(img, quant=300, grayscale=True)
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg(img, subsample="4:2:2")
+
+
+def test_truncated_gif_jpeg_raise_valueerror():
+    """ADVICE r6: truncated GIF/JPEG payloads must raise ValueError like
+    decode_png/decode_bmp, not leak IndexError/struct.error."""
+    import numpy as np
+    import pytest
+    from py3dtiles_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from py3dtiles_spark.operators.multimodal import decode_gif, encode_gif
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[::2, :, 0] = 128
+    gif = encode_gif(img)
+    jpg = encode_jpeg(img, quant=1)
+    # full payloads round-trip
+    assert decode_gif(gif).shape == (8, 8, 3)
+    assert decode_jpeg(jpg).shape == (8, 8, 3)
+    # any truncation point either still decodes (e.g. only the trailer
+    # is gone) or raises ValueError — NEVER IndexError/struct.error
+    import struct as _struct
+    failures = 0
+    for payload, dec in ((gif, decode_gif), (jpg, decode_jpeg)):
+        for cut in range(6, len(payload)):
+            try:
+                dec(payload[:cut])
+            except ValueError:
+                failures += 1
+            except (IndexError, _struct.error) as e:  # pragma: no cover
+                raise AssertionError(
+                    f"{dec.__name__} leaked {type(e).__name__} "
+                    f"at cut={cut}") from e
+    assert failures > 0                       # truncation does get caught
+
+
+def test_curate_stream_eval_hash_guard(spark, tmp_path):
+    """ADVICE r6: corpus-sized eval sets must be rejected instead of
+    silently inflating every task's serialized plan."""
+    import pytest
+    from py3dtiles_spark.streaming.pipeline import curate_stream
+
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+              .load()
+              .selectExpr("timestamp as warc_ts", "'u' as url",
+                          "'some text here' as text", "'en' as lang"))
+    with pytest.raises(ValueError, match="max_eval_hashes"):
+        curate_stream(stream, ev, shingle_tokens=2, max_eval_hashes=3)
